@@ -1,0 +1,119 @@
+"""SMPL forward-kinematics correctness properties (on the synthetic model —
+identical structure/contractions to the real SMPL_NEUTRAL.pkl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seeme_tpu.core import aa_to_rotmat, smpl_forward, synthetic_smpl
+from seeme_tpu.core.smpl import PARENTS
+
+MODEL = synthetic_smpl(n_verts=256)
+
+
+def zero_pose(B):
+    return dict(
+        betas=jnp.zeros((B, 10)),
+        body_pose=jnp.zeros((B, 69)),
+        global_orient=jnp.zeros((B, 3)),
+    )
+
+
+class TestRestPose:
+    def test_identity_pose_returns_template(self):
+        out = smpl_forward(MODEL, **zero_pose(2))
+        np.testing.assert_allclose(
+            out["vertices"], jnp.broadcast_to(MODEL.v_template, (2, 256, 3)), atol=1e-5
+        )
+
+    def test_identity_pose_joints_are_regressed_rest_joints(self):
+        out = smpl_forward(MODEL, **zero_pose(1))
+        rest = jnp.einsum("jv,vd->jd", MODEL.j_regressor, MODEL.v_template)
+        np.testing.assert_allclose(out["joints"][0, :24], rest, atol=1e-5)
+
+    def test_joint_count_contract(self):
+        out = smpl_forward(MODEL, **zero_pose(3))
+        assert out["joints"].shape == (3, 45, 3)  # 24 skeleton + 21 vertex joints
+        # extra joints == vertices at the extra ids
+        np.testing.assert_allclose(
+            out["joints"][:, 24:], out["vertices"][:, MODEL.extra_joint_ids], atol=1e-6
+        )
+
+
+class TestTransforms:
+    def test_global_orient_rotates_rigidly(self):
+        # Rotating only the root is a rigid transform about the root joint.
+        aa = jnp.array([[0.3, -0.2, 0.9]])
+        rest = smpl_forward(MODEL, **zero_pose(1))
+        out = smpl_forward(
+            MODEL,
+            betas=jnp.zeros((1, 10)),
+            body_pose=jnp.zeros((1, 69)),
+            global_orient=aa,
+        )
+        R = aa_to_rotmat(aa)[0]
+        root = rest["joints"][0, 0]
+        expect = (rest["vertices"][0] - root) @ R.T + root
+        np.testing.assert_allclose(out["vertices"][0], expect, atol=1e-4)
+
+    def test_transl_additive(self):
+        t = jnp.array([[1.0, 2.0, 3.0]])
+        base = smpl_forward(MODEL, **zero_pose(1))
+        moved = smpl_forward(MODEL, **zero_pose(1), transl=t)
+        np.testing.assert_allclose(moved["joints"], base["joints"] + t[:, None], atol=1e-5)
+        np.testing.assert_allclose(moved["vertices"], base["vertices"] + t[:, None], atol=1e-5)
+
+    def test_pose2rot_false_matches_axis_angle_path(self):
+        rng = np.random.RandomState(0)
+        body_aa = jnp.asarray(rng.randn(2, 69).astype(np.float32) * 0.3)
+        glob_aa = jnp.asarray(rng.randn(2, 3).astype(np.float32) * 0.3)
+        betas = jnp.asarray(rng.randn(2, 10).astype(np.float32))
+        out_aa = smpl_forward(MODEL, betas, body_aa, glob_aa, pose2rot=True)
+        out_rm = smpl_forward(
+            MODEL,
+            betas,
+            aa_to_rotmat(body_aa.reshape(2, 23, 3)),
+            aa_to_rotmat(glob_aa).reshape(2, 1, 3, 3),
+            pose2rot=False,
+        )
+        np.testing.assert_allclose(out_aa["joints"], out_rm["joints"], atol=1e-4)
+
+    def test_betas_change_shape_not_structure(self):
+        out0 = smpl_forward(MODEL, **zero_pose(1))
+        out1 = smpl_forward(
+            MODEL,
+            betas=jnp.ones((1, 10)),
+            body_pose=jnp.zeros((1, 69)),
+            global_orient=jnp.zeros((1, 3)),
+        )
+        assert not np.allclose(out0["vertices"], out1["vertices"], atol=1e-3)
+
+    def test_kinematic_chain_locality(self):
+        # Rotating a leaf joint (e.g. wrist, joint 22) must not move joints
+        # outside its subtree.
+        body = np.zeros((1, 69), np.float32)
+        body[0, (22 - 1) * 3 : 22 * 3] = [0.0, 1.2, 0.0]
+        out = smpl_forward(MODEL, jnp.zeros((1, 10)), jnp.asarray(body), jnp.zeros((1, 3)))
+        rest = smpl_forward(MODEL, **zero_pose(1))
+        subtree = {22}
+        for j in range(24):
+            k, chain = j, []
+            while k != -1:
+                chain.append(k)
+                k = int(PARENTS[k])
+            if 22 not in chain:
+                np.testing.assert_allclose(
+                    out["joints"][0, j], rest["joints"][0, j], atol=1e-5,
+                    err_msg=f"joint {j} moved but is not in subtree of 22 ({subtree})",
+                )
+
+
+def test_jit_and_grad():
+    def loss(body_pose):
+        out = smpl_forward(MODEL, jnp.zeros((1, 10)), body_pose, jnp.zeros((1, 3)))
+        return jnp.sum(out["joints"] ** 2)
+
+    g = jax.jit(jax.grad(loss))(jnp.full((1, 69), 0.1))
+    assert g.shape == (1, 69)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0
