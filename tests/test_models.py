@@ -1,0 +1,102 @@
+"""Shape/semantics tests for the VAE and denoiser (flax)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seeme_tpu.models import Denoiser, MotionVae, reparameterize
+
+B, T, F = 4, 60, 75
+D = 256
+
+
+def make_vae():
+    vae = MotionVae(nfeats=F)
+    feats = jnp.zeros((B, T, F))
+    params = vae.init(jax.random.PRNGKey(0), feats)
+    return vae, params
+
+
+class TestMotionVae:
+    def test_encode_decode_shapes(self):
+        vae, params = make_vae()
+        rng = jax.random.PRNGKey(1)
+        feats = jax.random.normal(rng, (B, T, F))
+        mu, logvar = vae.apply(params, feats, method=vae.encode)
+        assert mu.shape == (B, 1, D) and logvar.shape == (B, 1, D)
+        z = reparameterize(rng, mu, logvar)
+        out = vae.apply(params, z, T, method=vae.decode)
+        assert out.shape == (B, T, F)
+
+    def test_padding_invariance(self):
+        # Frames beyond `lengths` must not influence the latent.
+        vae, params = make_vae()
+        rng = jax.random.PRNGKey(2)
+        feats = jax.random.normal(rng, (B, T, F))
+        lengths = jnp.array([30, 45, 60, 10])
+        mu1, _ = vae.apply(params, feats, lengths, method=vae.encode)
+        # perturb padded region only
+        mask = jnp.arange(T)[None, :, None] < lengths[:, None, None]
+        feats2 = jnp.where(mask, feats, feats + 100.0)
+        mu2, _ = vae.apply(params, feats2, lengths, method=vae.encode)
+        np.testing.assert_allclose(mu1, mu2, atol=1e-4)
+
+    def test_reparameterize_fact(self):
+        mu = jnp.ones((2, 1, 8))
+        logvar = jnp.zeros((2, 1, 8))
+        z0 = reparameterize(jax.random.PRNGKey(0), mu, logvar, fact=0.0)
+        np.testing.assert_allclose(z0, mu, atol=1e-6)
+
+    def test_jit_encode(self):
+        vae, params = make_vae()
+        enc = jax.jit(lambda p, f: vae.apply(p, f, method=vae.encode))
+        mu, logvar = enc(params, jnp.ones((B, T, F)))
+        assert bool(jnp.all(jnp.isfinite(mu)))
+
+
+class TestDenoiser:
+    def _run(self, md_trans, n_cond=2):
+        den = Denoiser(nfeats=F, md_trans=md_trans)
+        sample = jnp.ones((B, 1, D))
+        t = jnp.full((B,), 10, jnp.int32)
+        cond = jnp.ones((B, n_cond, D))
+        params = den.init(jax.random.PRNGKey(0), sample, t, cond)
+        out = den.apply(params, sample, t, cond)
+        return out, params, den
+
+    def test_md_trans_shapes(self):
+        out, _, _ = self._run(md_trans=True)
+        assert out.shape == (B, 1, D)
+
+    def test_plain_shapes(self):
+        out, _, _ = self._run(md_trans=False)
+        assert out.shape == (B, 1, D)
+
+    def test_timestep_sensitivity(self):
+        _, params, den = self._run(md_trans=True)
+        sample = jnp.ones((B, 1, D))
+        cond = jnp.ones((B, 2, D))
+        o1 = den.apply(params, sample, jnp.full((B,), 10), cond)
+        o2 = den.apply(params, sample, jnp.full((B,), 900), cond)
+        assert not np.allclose(o1, o2, atol=1e-4)
+
+    def test_condition_sensitivity(self):
+        _, params, den = self._run(md_trans=True)
+        sample = jnp.ones((B, 1, D))
+        t = jnp.full((B,), 10)
+        o1 = den.apply(params, sample, t, jnp.zeros((B, 2, D)))
+        o2 = den.apply(params, sample, t, jnp.ones((B, 2, D)))
+        assert not np.allclose(o1, o2, atol=1e-4)
+
+    def test_diffusion_only_mode(self):
+        den = Denoiser(nfeats=F, md_trans=False, diffusion_only=True)
+        sample = jnp.ones((B, T, F))
+        t = jnp.full((B,), 10, jnp.int32)
+        cond = jnp.ones((B, 1, D))
+        lengths = jnp.array([30, 60, 10, 55])
+        params = den.init(jax.random.PRNGKey(0), sample, t, cond, lengths)
+        out = den.apply(params, sample, t, cond, lengths)
+        assert out.shape == (B, T, F)
+        # padded frames zeroed (`mld_denoiser.py:218-220`)
+        assert float(jnp.abs(out[0, 30:]).max()) == 0.0
+        assert float(jnp.abs(out[0, :30]).max()) > 0.0
