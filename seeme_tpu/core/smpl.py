@@ -216,6 +216,42 @@ def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.n
     return posed_joints, rel
 
 
+def smpl_joints24(
+    model: SmplModel,
+    betas: jnp.ndarray,
+    body_pose: jnp.ndarray,
+    global_orient: jnp.ndarray,
+    transl: jnp.ndarray | None = None,
+    pose2rot: bool = True,
+) -> jnp.ndarray:
+    """Fast path: the 24 skeleton joints only, no vertex skinning.
+
+    The reference always runs the full smplx forward (6890-vertex LBS) and
+    then slices `joints[:, :, :24]` (`mld.py:737-738, 771-773`) — but those 24
+    joints depend only on the regressed rest joints and the kinematic chain,
+    never on skinned vertices (pose blendshapes affect vertices only). This
+    skips ~99% of the reference's SMPL FLOPs on the training-loss and metric
+    paths while producing bit-identical joints[:24].
+    """
+    B = betas.shape[0]
+    if pose2rot:
+        aa = jnp.concatenate([global_orient.reshape(B, 1, 3), body_pose.reshape(B, 23, 3)], axis=1)
+        rot_mats = aa_to_rotmat(aa)
+    else:
+        rot_mats = jnp.concatenate(
+            [global_orient.reshape(B, 1, 3, 3), body_pose.reshape(B, 23, 3, 3)], axis=1
+        )
+    # Rest joints: J_regressor @ (template + shapedirs . betas). Fold the
+    # regressor through both terms so no (B, V, 3) tensor is materialized.
+    j_template = model.j_regressor @ model.v_template                      # (24, 3)
+    j_shapedirs = jnp.einsum("jv,vdn->jdn", model.j_regressor, model.shapedirs)
+    joints_rest = j_template + jnp.einsum("jdn,bn->bjd", j_shapedirs, betas)
+    posed_joints, _ = _rigid_transforms(rot_mats, joints_rest, model.parents)
+    if transl is not None:
+        posed_joints = posed_joints + transl[:, None, :]
+    return posed_joints
+
+
 def smpl_forward(
     model: SmplModel,
     betas: jnp.ndarray,

@@ -1,0 +1,4 @@
+from .batch import host_to_device, stack_examples, validate_batch
+from .synthetic import SyntheticEgoDataset
+from .egobody import EgoBodyDataModule
+from .registry import SyntheticDataModule, get_datamodule, register_dataset

@@ -1,0 +1,42 @@
+"""Fixed-shape batch contract.
+
+The reference moves condition-dependent *tuples* through Lightning
+(`mld/data/humanml/data/dataset.py:1747-1794`, unpacked by position at
+`mld.py:889-926`). Here a batch is a dict of fixed-shape arrays — an explicit,
+jit-stable pytree:
+
+  feats   (B, T, 2, P)   normalized pose features, actor 0 = wearer,
+                         actor 1 = interactee (P=72 egobody / 66 gimo)
+  transl  (B, 2, T, 3)   normalized translations (dims P..P+2 of mean/std)
+  betas   (B, 2, T, 10)  SMPL shape coefficients (not normalized)
+  cam     (B, T, 6)      camera utils [fx, cx, cy, center_x, center_y, scale]
+  scene   (B, N, 3)      scene point cloud (only when 'scene' in condition)
+  length  (B,)           valid frame counts (int32)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def validate_batch(batch: Dict, pose_feats: int = 72, motion_length: int = 60) -> None:
+    B, T = batch["feats"].shape[0], batch["feats"].shape[1]
+    assert batch["feats"].shape == (B, T, 2, pose_feats), batch["feats"].shape
+    assert batch["transl"].shape == (B, 2, T, 3), batch["transl"].shape
+    assert batch["betas"].shape == (B, 2, T, 10), batch["betas"].shape
+    assert batch["length"].shape == (B,), batch["length"].shape
+    assert T == motion_length
+    if "scene" in batch:
+        assert batch["scene"].ndim == 3 and batch["scene"].shape[-1] == 3
+
+
+def host_to_device(batch: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def stack_examples(examples) -> Dict:
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples]) for k in keys}

@@ -1,0 +1,69 @@
+"""EgoBody / GIMO datamodule over preprocessed fixed-shape shards.
+
+The reference's `EgoBodyData3` (`mld/data/humanml/data/dataset.py:1055-1794`)
+does per-item python work in dataloader workers: npy-dict loads, per-frame
+normalization, padding to 60 frames, kinect->holo->PV point-cloud transforms,
+tuple assembly. TPU input pipelines want none of that at step time, so the
+equivalent work happens once in `tools/preprocess_egobody.py`, which writes
+one `.npz` per split with the fixed-shape batch contract
+(`seeme_tpu/data/batch.py`); this module is then a zero-copy array slicer.
+
+Split files: {root}/processed/{split}.npz with keys
+  feats (N, T, 2, P) float32 normalized | transl (N, 2, T, 3) normalized |
+  betas (N, 2, T, 10) | cam (N, T, 6) | length (N,) int32 |
+  scene (N, n_pts, 3) [optional]
+plus {root}/processed/mean.npy / std.npy over the (P+3)-dim feature vector
+(same contract as `our_process_smpl_split_NEW/{mean,std}.npy`,
+`mld/data/EgoBody.py:124-131`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+class EgoBodyDataModule:
+    def __init__(self, cfg, root: str, pose_feats: int = 72):
+        self.root = root
+        proc = os.path.join(root, "processed")
+        if not os.path.isdir(proc):
+            raise FileNotFoundError(
+                f"{proc} not found — run tools/preprocess_egobody.py over the "
+                f"raw release first (the reference's pre_process_data.py stage)."
+            )
+        self.mean = np.load(os.path.join(proc, "mean.npy")).reshape(-1)
+        self.std = np.load(os.path.join(proc, "std.npy")).reshape(-1)
+        self.nfeats = pose_feats + 3
+        self.name = cfg.get("DATASET_NAME", "egobody")
+        self.is_synthetic = False
+        self._proc = proc
+        self._splits: Dict[str, Dict[str, np.ndarray]] = {}
+        self._debug = bool(cfg.get("DEBUG", False))
+
+    def _load(self, split: str) -> Dict[str, np.ndarray]:
+        if split not in self._splits:
+            path = os.path.join(self._proc, f"{split}.npz")
+            data = dict(np.load(path))
+            if self._debug:  # tiny-dataset debug mode (`dataset.py:1148-1152`)
+                data = {k: v[:10] for k, v in data.items()}
+            self._splits[split] = data
+        return self._splits[split]
+
+    def batches(
+        self, split: str, batch_size: int, shuffle=None, seed: int = 0,
+        drop_last: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        data = self._load(split)
+        n = data["feats"].shape[0]
+        idx = np.arange(n)
+        if shuffle is None:
+            shuffle = split == "train"
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        stop = (n // batch_size) * batch_size if drop_last else n
+        for i in range(0, stop, batch_size):
+            sel = idx[i : i + batch_size]
+            yield {k: v[sel] for k, v in data.items()}

@@ -1,0 +1,86 @@
+"""Dataset registry: config name -> datamodule.
+
+Replaces `mld/data/get_data.py:85-320`'s if/elif dispatch with a registry.
+Each datamodule exposes `train/val/test` split iterators with the fixed-shape
+batch contract (`seeme_tpu/data/batch.py`), plus `mean`/`std`/`nfeats`.
+
+Real EgoBody/GIMO shards (the `.npy` layout produced by the reference's
+`pre_process_data.py`) load when present under DATASET.ROOT; otherwise the
+synthetic datamodule keeps every config runnable (the reference's DEBUG
+tiny-dataset pattern, `dataset.py:1148-1152`, with generated data).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+
+from .egobody import EgoBodyDataModule
+from .synthetic import SyntheticEgoDataset
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_dataset(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+class SyntheticDataModule:
+    """Datamodule wrapper over SyntheticEgoDataset with per-split datasets."""
+
+    def __init__(self, cfg, num_train=256, num_eval=64):
+        pose_feats = 72 if cfg.get("DATASET_NAME", "egobody") == "egobody" else 66
+        T = int(cfg.get("MOTION_LENGTH", 60))
+        with_scene = "scene" in tuple(cfg.select("model.condition", []) or [])
+        pts = int(cfg.select("model.scene_points", 1024)) if with_scene else 0
+        if cfg.get("DEBUG", False):
+            num_train, num_eval = 32, 16
+        common = dict(
+            motion_length=T, pose_feats=pose_feats,
+            scene_points=max(pts, 1), with_scene=with_scene,
+        )
+        self.train_set = SyntheticEgoDataset(num_train, seed=0, **common)
+        self.val_set = SyntheticEgoDataset(num_eval, seed=1, **common)
+        self.test_set = SyntheticEgoDataset(num_eval, seed=2, **common)
+        self.mean = self.train_set.mean
+        self.std = self.train_set.std
+        self.nfeats = pose_feats + 3
+        self.name = cfg.get("DATASET_NAME", "egobody")
+        self.is_synthetic = True
+
+    def batches(self, split: str, batch_size: int, shuffle=None, seed: int = 0):
+        ds = getattr(self, f"{split}_set")
+        if shuffle is None:
+            shuffle = split == "train"
+        return ds.batches(batch_size, shuffle=shuffle, seed=seed)
+
+
+@register_dataset("egobody")
+def _egobody(cfg):
+    root = os.path.join(cfg.select("DATASET.ROOT", "./datasets"), "EgoBody")
+    if not cfg.select("DATASET.SYNTHETIC", False) and os.path.isdir(root):
+        return EgoBodyDataModule(cfg, root)
+    return SyntheticDataModule(cfg)
+
+
+@register_dataset("gimo")
+def _gimo(cfg):
+    root = os.path.join(cfg.select("DATASET.ROOT", "./datasets"), "GIMO")
+    if not cfg.select("DATASET.SYNTHETIC", False) and os.path.isdir(root):
+        return EgoBodyDataModule(cfg, root, pose_feats=66)
+    return SyntheticDataModule(cfg)
+
+
+def get_datamodule(cfg):
+    """`get_datasets(cfg)` equivalent — first configured train dataset."""
+    names = list(cfg.select("TRAIN.DATASETS", None) or [cfg.get("DATASET_NAME", "egobody")])
+    name = names[0]
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dataset {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg)

@@ -1,0 +1,100 @@
+"""Synthetic EgoBody/GIMO-shaped data.
+
+Serves the role of the reference's DEBUG tiny-dataset mode
+(`dataset.py:1148-1152`: truncate to 10 samples) but with generated data, so
+end-to-end training/eval/benchmarks run in environments without the EgoBody
+release. Motions are smooth pose-space random walks with the interactee
+correlated to the wearer (so the conditioning signal is learnable).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class SyntheticEgoDataset:
+    """Deterministic generated dataset with the EgoBody batch contract."""
+
+    def __init__(
+        self,
+        num_samples: int = 64,
+        motion_length: int = 60,
+        pose_feats: int = 72,
+        scene_points: int = 1024,
+        with_scene: bool = True,
+        seed: int = 0,
+    ):
+        self.num_samples = num_samples
+        self.motion_length = motion_length
+        self.pose_feats = pose_feats
+        self.scene_points = scene_points
+        self.with_scene = with_scene
+        rng = np.random.RandomState(seed)
+        T, P = motion_length, pose_feats
+
+        def smooth_walk(shape, scale):
+            steps = rng.randn(*shape).astype(np.float32) * scale
+            x = np.cumsum(steps, axis=1)
+            # light smoothing for plausible acceleration statistics
+            k = np.array([0.25, 0.5, 0.25], np.float32)
+            return np.apply_along_axis(lambda v: np.convolve(v, k, mode="same"), 1, x)
+
+        wearer = smooth_walk((num_samples, T, P), 0.05)
+        # interactee = mirrored wearer + noise: a learnable conditioning signal
+        interactee = -0.8 * wearer + smooth_walk((num_samples, T, P), 0.03)
+        self.feats = np.stack([wearer, interactee], axis=2)  # (N, T, 2, P)
+        self.transl = smooth_walk((num_samples, 2 * T, 3), 0.02).reshape(
+            num_samples, 2, T, 3
+        )
+        self.betas = np.repeat(
+            rng.randn(num_samples, 2, 1, 10).astype(np.float32) * 0.5, T, axis=2
+        )
+        self.cam = np.abs(rng.randn(num_samples, T, 6).astype(np.float32))
+        if with_scene:
+            self.scene = rng.randn(num_samples, scene_points, 3).astype(np.float32)
+        self.length = np.full((num_samples,), T, np.int32)
+
+        # normalization stats over the (pose + transl) feature vector,
+        # same contract as mean.npy/std.npy (`mld/data/EgoBody.py:124-131`)
+        flat = np.concatenate(
+            [self.feats[:, :, 0, :], self.transl[:, 0]], axis=-1
+        ).reshape(-1, P + 3)
+        self.mean = flat.mean(0)
+        self.std = flat.std(0) + 1e-6
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        out = {
+            "feats": self.feats[idx],
+            "transl": self.transl[idx],
+            "betas": self.betas[idx],
+            "cam": self.cam[idx],
+            "length": self.length[idx],
+        }
+        if self.with_scene:
+            out["scene"] = self.scene[idx]
+        return out
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(self.num_samples)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        stop = (self.num_samples // batch_size) * batch_size if drop_last else self.num_samples
+        for i in range(0, stop, batch_size):
+            sel = idx[i : i + batch_size]
+            batch = {
+                "feats": self.feats[sel],
+                "transl": self.transl[sel],
+                "betas": self.betas[sel],
+                "cam": self.cam[sel],
+                "length": self.length[sel],
+            }
+            if self.with_scene:
+                batch["scene"] = self.scene[sel]
+            yield batch

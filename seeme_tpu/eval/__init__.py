@@ -1,0 +1,2 @@
+from .metrics import EgoMetric, ego_sequence_metrics, interactee_mpjpe
+from .stats import get_metric_statistics

@@ -1,0 +1,9 @@
+from .glow import (
+    GlowConfig,
+    glow_forward,
+    glow_inverse,
+    glow_log_prob,
+    glow_sample_and_log_prob,
+    init_glow,
+    initialize_actnorm,
+)

@@ -1,0 +1,402 @@
+"""SEE-ME system: the composed VAE + latent-diffusion + conditioning stack.
+
+This is the TPU-native redesign of `mld/models/modeltype/mld.py` (the
+2130-line LightningModule). Instead of a stateful module that owns optimizers,
+metrics, and debug side effects, the system is:
+
+  * a bundle of flax modules (vae / denoiser / scene encoder / condition
+    projections) built from one config,
+  * pure loss functions `vae_loss` / `diffusion_loss` (the
+    `train_vae_forward` / `train_diffusion_forward` semantics,
+    `mld.py:633-1017`),
+  * a pure `sample` function whose whole DDIM reverse process is one lax.scan
+    (`_diffusion_reverse`, `mld.py:432-511`).
+
+Conditioning composition follows `mld.py:991-1013` / `1297-1319`: condition
+tokens are concatenated along the token axis in the order
+[interactee-latent, scene, image]; classifier-free guidance doubles the batch
+as [uncond; cond] (the order `_diffusion_reverse` chunks, `mld.py:488-492`).
+Known reference quirk NOT replicated: at eval the reference concatenates the
+scene CFG halves in the opposite order from the interactee halves
+(`mld.py:1158` vs `1290`), which would mis-pair cond/uncond tokens — harmless
+there only because the shipped config has guidance_scale=1.0; we use the
+consistent [uncond; cond] order for every condition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.smpl import SmplModel, smpl_joints24
+from ..diffusion.sampling import ddim_sample
+from ..diffusion.schedulers import DiffusionSchedule
+from ..nn.pointnet import ResnetPointnet
+from ..train.losses import LossWeights, diffusion_losses, vae_losses, x0_losses
+from .denoiser import Denoiser
+from .vae import MotionVae, reparameterize
+
+WEARER, INTERACTEE = 0, 1  # actor indices in the 2-person batch layout
+
+
+@dataclass(frozen=True)
+class SeeMeConfig:
+    """Mirrors the knobs of `configs/config_mld_egobody.yaml` that affect the
+    compute graph."""
+
+    dataset_name: str = "egobody"          # egobody | gimo
+    estimate: str = "wearer"               # wearer | interactee (`ESTIMATE`)
+    data_type: str = "angle"               # angle | rot6d
+    predict_transl: bool = True            # ABLATION.PREDICT_TRANSL
+    motion_length: int = 60                # MOTION_LENGTH
+    condition: Tuple[str, ...] = ("interactee", "scene")
+    latent_dim: Tuple[int, int] = (1, 256)
+    ff_size: int = 128
+    num_layers: int = 5
+    num_heads: int = 1
+    dropout: float = 0.1
+    guidance_scale: float = 1.0
+    guidance_uncondp: float = 0.1
+    predict_epsilon: bool = True
+    md_trans: bool = True
+    num_inference_timesteps: int = 50
+    eta: float = 0.0
+    scene_points: int = 20000
+    scene_feat_dim: int = 512
+    loss: LossWeights = field(default_factory=LossWeights)
+
+    @property
+    def pose_feats(self) -> int:
+        """72 angle dims for the 23-joint egobody layout, 66 for gimo's
+        21-joint layout (`mld.py:119-123`)."""
+        return 72 if self.dataset_name == "egobody" else 66
+
+    @property
+    def nfeats(self) -> int:
+        return self.pose_feats + (3 if self.predict_transl else 0)
+
+    @property
+    def body_joints(self) -> int:
+        return 23 if self.dataset_name == "egobody" else 21
+
+
+class ConditionProjection(nn.Module):
+    """ReLU -> Linear condition-embedding projection (`mld.py:252-261`)."""
+
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.out_dim, name="linear")(nn.relu(x))
+
+
+class SeeMeSystem:
+    """Builds modules from a SeeMeConfig and exposes pure step functions.
+
+    Parameter pytree layout (one dict so a single optax optimizer /
+    checkpoint covers the trainable surface):
+      {'vae': ..., 'denoiser': ..., 'scene_encoder': ..., 'output_scene': ...}
+    Stage-2 freezes 'vae' and 'scene_encoder' exactly as the reference does
+    (`mld.py:185-208, 267-271`): the train loop masks their gradients.
+    """
+
+    def __init__(self, cfg: SeeMeConfig, smpl: SmplModel,
+                 mean: jnp.ndarray, std: jnp.ndarray):
+        self.cfg = cfg
+        self.smpl = smpl
+        self.mean = jnp.asarray(mean).reshape(-1)[: cfg.nfeats]
+        self.std = jnp.asarray(std).reshape(-1)[: cfg.nfeats]
+        d = cfg.latent_dim[-1]
+        self.vae = MotionVae(
+            nfeats=cfg.nfeats,
+            latent_dim=tuple(cfg.latent_dim),
+            ff_size=cfg.ff_size,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            dropout=cfg.dropout,
+        )
+        self.denoiser = Denoiser(
+            nfeats=cfg.nfeats,
+            latent_dim=tuple(cfg.latent_dim),
+            ff_size=cfg.ff_size,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            dropout=cfg.dropout,
+            text_encoded_dim=d,
+            md_trans=cfg.md_trans,
+        )
+        self.schedule = DiffusionSchedule()
+        self.use_scene = "scene" in cfg.condition
+        self.use_interactee = "interactee" in cfg.condition
+        if self.use_scene:
+            self.scene_encoder = ResnetPointnet(out_dim=cfg.scene_feat_dim)
+            self.output_scene = ConditionProjection(d)
+
+    # ------------------------------------------------------------------ setup
+    def init_params(self, rng: jax.Array) -> Dict:
+        cfg = self.cfg
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        T, F = cfg.motion_length, cfg.nfeats
+        d = cfg.latent_dim[-1]
+        params = {
+            "vae": self.vae.init(r1, jnp.zeros((1, T, F))),
+            "denoiser": self.denoiser.init(
+                r2,
+                jnp.zeros((1, cfg.latent_dim[0], d)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, self.n_cond_tokens, d)),
+            ),
+        }
+        if self.use_scene:
+            params["scene_encoder"] = self.scene_encoder.init(
+                r3, jnp.zeros((1, 16, 3))
+            )
+            params["output_scene"] = self.output_scene.init(
+                r4, jnp.zeros((1, cfg.scene_feat_dim))
+            )
+        return params
+
+    @property
+    def n_cond_tokens(self) -> int:
+        return int(self.use_interactee) + int(self.use_scene)
+
+    # ------------------------------------------------------------- primitives
+    def renorm(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """normalized features -> raw (the datamodule `renorm`,
+        `mld/data/EgoBody.py:151-157`)."""
+        return feats * self.std + self.mean
+
+    def normalize(self, feats: jnp.ndarray) -> jnp.ndarray:
+        return (feats - self.mean) / self.std
+
+    def actor_features(self, batch: Dict, actor: int) -> jnp.ndarray:
+        """(B, T, nfeats) normalized features of one actor: pose feats,
+        plus transl when predict_transl (`mld.py:654-675`)."""
+        f = batch["feats"][:, :, actor, :]
+        if self.cfg.predict_transl:
+            f = jnp.concatenate([f, batch["transl"][:, actor]], axis=-1)
+        return f
+
+    def feats_to_joints(self, feats_raw: jnp.ndarray, betas: jnp.ndarray,
+                        transl: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Renormalized (B, T, nfeats) features -> (B, T, 24, 3) joints via
+        SMPL FK (the `train_vae_forward` angle path, `mld.py:746-799`).
+
+        GIMO's 21-joint pose is zero-padded to the 23-joint SMPL body pose
+        (`mld.py:807-813`). Uses the joints-only fast path — the reference
+        runs full LBS and slices [:, :24] (see `smpl_joints24`).
+        """
+        cfg = self.cfg
+        B, T, _ = feats_raw.shape
+        pose = feats_raw[..., 3 : cfg.pose_feats].reshape(B * T, -1)
+        if cfg.dataset_name == "gimo":
+            pose = jnp.concatenate([pose, jnp.zeros((B * T, 6), pose.dtype)], axis=-1)
+        glob = feats_raw[..., :3].reshape(B * T, 3)
+        if cfg.predict_transl:
+            trans = feats_raw[..., -3:].reshape(B * T, 3)
+        else:
+            assert transl is not None
+            trans = transl.reshape(B * T, 3)
+        betas_flat = betas.reshape(B * T, -1)
+        joints = smpl_joints24(self.smpl, betas_flat, pose, glob, trans)
+        return joints.reshape(B, T, 24, 3)
+
+    def encode_scene(self, params: Dict, scene: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, 3) point cloud -> (B, 1, d) condition token
+        (`mld.py:911-922`: frozen PointNet then trainable projection)."""
+        feats = self.scene_encoder.apply(params["scene_encoder"], scene)
+        return self.output_scene.apply(params["output_scene"], feats)[:, None, :]
+
+    def encode_motion_latent(
+        self, vae_params, feats: jnp.ndarray, lengths=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.vae.apply(vae_params, feats, lengths, method=self.vae.encode)
+
+    # ----------------------------------------------------------------- stage 1
+    def vae_loss(self, params: Dict, batch: Dict, rng: jax.Array):
+        """Stage-1 reconstruction loss (`train_vae_forward`, `mld.py:633-885`)."""
+        cfg = self.cfg
+        actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
+        f_ref = self.actor_features(batch, actor)
+
+        drop_rng, sample_rng = jax.random.split(rng)
+        mu, logvar = self.vae.apply(
+            params["vae"], f_ref, deterministic=False,
+            rngs={"dropout": drop_rng}, method=self.vae.encode,
+        )
+        z = reparameterize(sample_rng, mu, logvar)
+        feats_rst = self.vae.apply(
+            params["vae"], z, cfg.motion_length, deterministic=False,
+            rngs={"dropout": drop_rng}, method=self.vae.decode,
+        )
+
+        raw_ref = self.renorm(f_ref)
+        raw_rst = self.renorm(feats_rst)
+        betas = batch["betas"][:, actor]
+        transl = None if cfg.predict_transl else batch["transl"][:, actor]
+        joints_ref = self.feats_to_joints(raw_ref, betas, transl)
+        joints_rst = self.feats_to_joints(raw_rst, betas, transl)
+
+        return vae_losses(
+            raw_rst, raw_ref, joints_rst, joints_ref, mu, logvar,
+            cfg.loss, cfg.predict_transl,
+        )
+
+    # ----------------------------------------------------------------- stage 2
+    def _condition_tokens(
+        self, params: Dict, batch: Dict, rng: Optional[jax.Array], train: bool
+    ) -> jnp.ndarray:
+        """Build (B, n_cond, d) condition tokens [interactee, scene].
+
+        Training-time CFG zeroes random *elements* of the raw conditioning
+        inputs with prob guidance_uncondp before encoding — faithfully
+        preserving the reference's elementwise masking (`mld.py:917-919,
+        966-981`), which masks elements rather than whole samples.
+        """
+        cfg = self.cfg
+        tokens = []
+        do_cfg_train = train and cfg.guidance_scale > 1.0
+        if self.use_interactee:
+            f_int = self.actor_features(batch, INTERACTEE)
+            if do_cfg_train:
+                rng, mask_rng = jax.random.split(rng)
+                mask = jax.random.uniform(mask_rng, f_int.shape) < cfg.guidance_uncondp
+                f_int = jnp.where(mask, 0.0, f_int)
+            z_cond, _ = self.encode_motion_latent(params["vae"], f_int)
+            tokens.append(z_cond)
+        if self.use_scene:
+            scene = batch["scene"]
+            if do_cfg_train:
+                rng, mask_rng = jax.random.split(rng)
+                mask = jax.random.uniform(mask_rng, scene.shape) < cfg.guidance_uncondp
+                scene = jnp.where(mask, 0.0, scene)
+            tokens.append(self.encode_scene(params, scene))
+        return jnp.concatenate(tokens, axis=1)
+
+    def diffusion_loss(self, params: Dict, batch: Dict, rng: jax.Array):
+        """Stage-2 denoiser loss (`train_diffusion_forward` +
+        `_diffusion_process`, `mld.py:582-631, 887-1017`)."""
+        cfg = self.cfg
+        actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
+        cond_rng, z_rng, t_rng, noise_rng, drop_rng = jax.random.split(rng, 5)
+
+        f_ref = self.actor_features(batch, actor)
+        mu, logvar = self.encode_motion_latent(params["vae"], f_ref)
+        z = reparameterize(z_rng, mu, logvar)  # (B, n_tok, d), no grad to vae
+
+        cond = self._condition_tokens(params, batch, cond_rng, train=True)
+
+        B = z.shape[0]
+        noise = jax.random.normal(noise_rng, z.shape, z.dtype)
+        timesteps = jax.random.randint(
+            t_rng, (B,), 0, self.schedule.num_train_timesteps
+        )
+        noisy = self.schedule.add_noise(z, noise, timesteps)
+        pred = self.denoiser.apply(
+            params["denoiser"], noisy, timesteps, cond,
+            deterministic=False, rngs={"dropout": drop_rng},
+        )
+        if cfg.predict_epsilon:
+            return diffusion_losses(pred, noise)
+        return x0_losses(pred, z)
+
+    # ---------------------------------------------------------------- sampling
+    def sample(
+        self,
+        params: Dict,
+        batch: Dict,
+        rng: jax.Array,
+        lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Conditional generation: cond tokens -> DDIM scan -> VAE decode.
+
+        The `ego_eval` inference path (`mld.py:1269-1364`) with the reverse
+        process as one lax.scan. Returns normalized features (B, T, nfeats).
+        """
+        cfg = self.cfg
+        cond = self._condition_tokens(params, batch, None, train=False)
+        B = cond.shape[0]
+
+        if cfg.guidance_scale > 1.0:
+            uncond_batch = dict(batch)
+            uncond_batch["feats"] = jnp.zeros_like(batch["feats"])
+            uncond_batch["transl"] = jnp.zeros_like(batch["transl"])
+            if self.use_scene:
+                uncond_batch["scene"] = jnp.zeros_like(batch["scene"])
+            uncond = self._condition_tokens(params, uncond_batch, None, train=False)
+            cond_full = jnp.concatenate([uncond, cond], axis=0)  # [uncond; cond]
+        else:
+            cond_full = cond
+
+        def denoiser_fn(x, t, step_rng):
+            return self.denoiser.apply(params["denoiser"], x, t, cond_full)
+
+        z = ddim_sample(
+            denoiser_fn,
+            self.schedule,
+            rng,
+            (B, cfg.latent_dim[0], cfg.latent_dim[-1]),
+            num_inference_steps=cfg.num_inference_timesteps,
+            eta=cfg.eta,
+            guidance_scale=cfg.guidance_scale,
+        )
+        return self.vae.apply(
+            params["vae"], z, cfg.motion_length, lengths, method=self.vae.decode
+        )
+
+    def eval_outputs(
+        self, params: Dict, batch: Dict, rng: jax.Array, stage: str = "diffusion"
+    ) -> Dict[str, jnp.ndarray]:
+        """Full eval forward (`ego_eval`, `mld.py:1076-1905`): sample (or
+        reconstruct for stage 'vae'), renorm, SMPL FK on prediction / ground
+        truth / interactee, plus global-orientation quaternions for the
+        head-orientation metric (`mld.py:1460-1555`)."""
+        from ..core.rotations import aa_to_quat
+
+        cfg = self.cfg
+        actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
+        other = INTERACTEE if actor == WEARER else WEARER
+
+        if stage == "vae":
+            feats_rst = self.reconstruct(params, batch, rng)
+        else:
+            feats_rst = self.sample(params, batch, rng)
+
+        raw_rst = self.renorm(feats_rst)
+        raw_ref = self.renorm(self.actor_features(batch, actor))
+        raw_int = self.renorm(self.actor_features(batch, other))
+
+        betas = batch["betas"][:, actor]
+        betas_int = batch["betas"][:, other]
+        transl = None if cfg.predict_transl else batch["transl"][:, actor]
+        transl_int = None if cfg.predict_transl else batch["transl"][:, other]
+
+        joints_rst = self.feats_to_joints(raw_rst, betas, transl)
+        joints_ref = self.feats_to_joints(raw_ref, betas, transl)
+        joints_int = self.feats_to_joints(raw_int, betas_int, transl_int)
+
+        quat_rst = aa_to_quat(raw_rst[..., :3])
+        quat_ref = aa_to_quat(raw_ref[..., :3])
+        return {
+            "feats_rst": feats_rst,
+            "joints_rst": joints_rst,
+            "joints_ref": joints_ref,
+            "joints_int": joints_int,
+            "quat_rst": quat_rst,
+            "quat_ref": quat_ref,
+        }
+
+    def reconstruct(self, params: Dict, batch: Dict, rng: jax.Array) -> jnp.ndarray:
+        """VAE-only eval path (stage 'vae', `mld.py:1328-1360`)."""
+        cfg = self.cfg
+        actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
+        f_ref = self.actor_features(batch, actor)
+        mu, logvar = self.encode_motion_latent(params["vae"], f_ref)
+        z = reparameterize(rng, mu, logvar)
+        return self.vae.apply(
+            params["vae"], z, cfg.motion_length, method=self.vae.decode
+        )

@@ -1,0 +1,52 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only parallelism is PyTorch-Lightning DDP over NCCL
+(`train.py:127-139`, SURVEY.md §2.4). The TPU-native equivalent: one jitted
+train step over a `jax.sharding.Mesh` with the batch sharded on the ``data``
+axis; XLA inserts the gradient all-reduce over ICI. A ``model`` axis exists in
+the mesh so tensor-parallel shardings can be introduced without an API change,
+but every shipped model is small enough that it stays size 1.
+
+Multi-host (multi-slice over DCN) initialization goes through
+`jax.distributed.initialize` before mesh construction; `make_mesh` only sees
+the global device list either way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data_axis: Optional[int] = None,
+    model_axis: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh over all (or the given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_axis is None:
+        data_axis = n // model_axis
+    assert data_axis * model_axis == n, (data_axis, model_axis, n)
+    arr = np.asarray(devices).reshape(data_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis of every batch leaf sharded over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Params / opt-state / schedule constants: replicated everywhere."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays onto the mesh, batch-sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,92 @@
+"""Checkpoint save/resume with the reference's experiment-folder UX.
+
+The reference saves `epoch={N}.ckpt` under `<exp>/checkpoints/` every
+SACE_CHECKPOINT_EPOCH epochs, keep-all (`train.py:114-123`), and resume scans
+the experiment dir for the newest config yaml + the highest-epoch ckpt
+(`train.py:26-53`). Same layout here with orbax as the storage engine:
+`<exp>/checkpoints/<step>/` managed by CheckpointManager, plus a
+`config.yaml` snapshot at the experiment root (the `create_logger` snapshot,
+`mld/utils/logger.py:38-53`).
+
+Cross-stage loading: stage 2 restores only the `vae` subtree from a stage-1
+checkpoint (the reference strips the `vae.` prefix and loads strict,
+`train.py:155-167`)."""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def make_manager(exp_dir: str, keep_every: int = 1) -> ocp.CheckpointManager:
+    ckpt_dir = _abs(os.path.join(exp_dir, "checkpoints"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=None, create=True)
+    return ocp.CheckpointManager(ckpt_dir, options=options)
+
+
+def save_state(manager: ocp.CheckpointManager, state: TrainState, step: int) -> None:
+    manager.save(step, args=ocp.args.StandardSave(_host(state)))
+    manager.wait_until_finished()
+
+
+def _host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def restore_state(
+    manager: ocp.CheckpointManager, template: TrainState, step: Optional[int] = None
+) -> Tuple[TrainState, int]:
+    step = manager.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError("no checkpoint found")
+    restored = manager.restore(step, args=ocp.args.StandardRestore(_host(template)))
+    return jax.tree.map(jax.numpy.asarray, restored), int(step)
+
+
+def latest_checkpoint_step(exp_dir: str) -> Optional[int]:
+    ckpt_dir = _abs(os.path.join(exp_dir, "checkpoints"))
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if re.fullmatch(r"\d+", d)]
+    return max(steps) if steps else None
+
+
+def save_params(path: str, params: Dict) -> None:
+    """Standalone params-only checkpoint (cross-stage / eval handoff)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(_abs(path), _host(params))
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, template: Dict) -> Dict:
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(_abs(path), args=ocp.args.StandardRestore(_host(template)))
+    return jax.tree.map(jax.numpy.asarray, restored)
+
+
+def load_pretrained_vae(path: str, params: Dict) -> Dict:
+    """Graft the `vae` subtree of a stage-1 params checkpoint into `params`
+    (the PRETRAINED_VAE load, `train.py:155-167`)."""
+    donor = restore_params(path, {"vae": params["vae"]})
+    out = dict(params)
+    out["vae"] = donor["vae"]
+    return out
+
+
+def resume_scan(exp_dir: str) -> Tuple[Optional[str], Optional[int]]:
+    """Find (config_snapshot, latest_step) in an experiment dir
+    (`train.py:26-53`)."""
+    cfg = os.path.join(exp_dir, "config.yaml")
+    return (cfg if os.path.exists(cfg) else None), latest_checkpoint_step(exp_dir)

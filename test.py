@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Same surface as the reference `test.py`: loads a checkpoint, runs the test
+split REPLICATION_TIMES times, aggregates mean / 1.96*sigma/sqrt(n) CI / min /
+max per metric, prints a table, and writes `metrics_<TIME>.json`
+(`test.py:41-156` in the reference). With TEST.COUNT_TIME, per-batch sampling
+wall-clock is accumulated and dumped to `times.txt`
+(`modeltype/base.py:44-53`, `mld.py:389-406`) — the throughput contract
+BASELINE.md records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--cfg_assets", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--checkpoint", default=None, help="params checkpoint path override")
+    p.add_argument("--replication_times", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import numpy as np
+
+    from seeme_tpu.config import load_config
+    from seeme_tpu.config.build import build_system
+    from seeme_tpu.core.masks import lengths_to_mask
+    from seeme_tpu.data import get_datamodule
+    from seeme_tpu.eval import EgoMetric, get_metric_statistics
+    from seeme_tpu.train.checkpoint import restore_params
+    from seeme_tpu.utils.logger import create_experiment_dir, create_logger
+
+    overrides = {}
+    if args.batch_size:
+        overrides = {"TEST": {"BATCH_SIZE": args.batch_size}}
+    cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
+    if args.replication_times:
+        cfg["TEST"]["REPLICATION_TIMES"] = args.replication_times
+
+    exp_dir = create_experiment_dir(cfg, phase="test")
+    logger = create_logger(exp_dir, phase="test")
+
+    datamodule = get_datamodule(cfg)
+    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+    params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
+
+    ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    if ckpt and os.path.exists(ckpt):
+        params = restore_params(ckpt, params)
+        logger.info("loaded checkpoint %s", ckpt)
+    else:
+        logger.info("no checkpoint found (%r) — evaluating random init", ckpt)
+
+    stage = str(cfg.select("TRAIN.STAGE", "diffusion"))
+    batch_size = int(cfg.TEST.BATCH_SIZE)
+    reps = int(cfg.select("TEST.REPLICATION_TIMES", 1))
+    count_time = bool(cfg.select("TEST.COUNT_TIME", False))
+
+    eval_step = jax.jit(
+        lambda p, b, r: system.eval_outputs(p, b, r, stage=stage),
+        static_argnames=(),
+    )
+
+    all_metrics = []
+    times = []
+    for rep in range(reps):
+        metric = EgoMetric(split=str(cfg.select("TEST.SPLIT", "test")))
+        rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
+        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+            batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+            rng, step_rng = jax.random.split(rng)
+            t0 = time.perf_counter()
+            out = eval_step(params, batch, step_rng)
+            out["feats_rst"].block_until_ready()
+            if count_time:
+                times.append(time.perf_counter() - t0)
+            mask = lengths_to_mask(batch["length"], sys_cfg.motion_length)
+            metric.update(
+                out["joints_rst"], out["joints_ref"],
+                out["quat_rst"], out["quat_ref"], mask,
+            )
+        results = metric.compute()
+        all_metrics.append(results)
+        logger.info("replication %d: %s", rep,
+                    " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))
+
+    stats = get_metric_statistics(all_metrics)
+    for k, s in sorted(stats.items()):
+        logger.info(
+            "%s: %.4f ± %.4f [%.4f, %.4f]", k, s["mean"], s["conf_interval"], s["min"], s["max"]
+        )
+
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    out_path = os.path.join(exp_dir, f"metrics_{stamp}.json")
+    with open(out_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    logger.info("wrote %s", out_path)
+
+    if count_time and times:
+        with open(os.path.join(exp_dir, "times.txt"), "w") as f:
+            f.writelines(f"{t}\n" for t in times)
+        per_sample = float(np.mean(times[1:]) / batch_size) if len(times) > 1 else float(times[0]) / batch_size
+        logger.info("mean time per sample (batch %d): %.6fs (%.1f samples/s)",
+                    batch_size, per_sample, 1.0 / per_sample)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Config cascade + builder tests."""
+
+import os
+
+import numpy as np
+
+from seeme_tpu.config import load_config
+from seeme_tpu.config.build import build_system, seeme_config_from_yaml
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_cascade_and_interpolation():
+    cfg = load_config(os.path.join(CONFIGS, "config_mld_egobody.yaml"))
+    # base.yaml merged under experiment yaml
+    assert cfg.SEED_VALUE == 1234
+    assert cfg.TRAIN.STAGE == "diffusion"
+    # module dir merged into model, ${model.nfeats} resolved
+    assert cfg.model.denoiser.params.nfeats == 75
+    assert cfg.model.denoiser.params.latent_dim == [1, 256]
+    assert cfg.model.scheduler.params.beta_start == 0.00085
+    # experiment yaml wins over base
+    assert cfg.TRAIN.BATCH_SIZE == 64
+
+
+def test_override_precedence():
+    cfg = load_config(
+        os.path.join(CONFIGS, "config_mld_egobody.yaml"),
+        overrides={"TRAIN": {"BATCH_SIZE": 8}},
+    )
+    assert cfg.TRAIN.BATCH_SIZE == 8
+    assert cfg.TRAIN.STAGE == "diffusion"  # untouched
+
+
+def test_system_config_mapping():
+    cfg = load_config(os.path.join(CONFIGS, "config_mld_egobody.yaml"))
+    sc = seeme_config_from_yaml(cfg)
+    assert sc.nfeats == 75 and sc.pose_feats == 72
+    assert sc.condition == ("interactee", "scene")
+    assert sc.md_trans and sc.predict_epsilon and sc.predict_transl
+    assert sc.num_inference_timesteps == 50
+    assert sc.loss.lambda_kl == 1e-4
+
+
+def test_gimo_config_dims():
+    cfg = load_config(os.path.join(CONFIGS, "config_mld_gimo.yaml"))
+    sc = seeme_config_from_yaml(cfg)
+    assert sc.dataset_name == "gimo"
+    assert sc.pose_feats == 66 and sc.nfeats == 69
+    assert sc.body_joints == 21
+
+
+def test_vae_config_stage():
+    cfg = load_config(os.path.join(CONFIGS, "config_vae_egobody.yaml"))
+    assert cfg.TRAIN.STAGE == "vae"
+    sc = seeme_config_from_yaml(cfg)
+    assert not sc.md_trans
+    assert sc.condition == ()
+
+
+def test_build_system_smoke():
+    cfg = load_config(os.path.join(CONFIGS, "config_vae_interactee.yaml"))
+    system, sc = build_system(cfg)
+    assert sc.estimate == "interactee"
+    assert system.vae.nfeats == 75

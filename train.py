@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Same surface as the reference `train.py`:
+    python -m train --cfg configs/config_mld_egobody.yaml \
+                    [--cfg_assets configs/assets.yaml] [--batch_size N] [--nodebug]
+
+Differences are TPU-native: instead of a Lightning Trainer + DDP
+(`train.py:127-190` in the reference), one jitted train step runs over a
+jax.sharding Mesh with the batch on the 'data' axis; checkpoints are orbax
+under the reference's experiment-folder layout with the same resume-by-scan UX.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--cfg_assets", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--nodebug", action="store_true")
+    p.add_argument("--device", default=None, help="unused on TPU; kept for CLI parity")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import numpy as np
+
+    from seeme_tpu.config import load_config, save_config
+    from seeme_tpu.config.build import build_system
+    from seeme_tpu.data import get_datamodule
+    from seeme_tpu.parallel import make_mesh
+    from seeme_tpu.train import create_train_state, make_optimizer, make_train_step, run_epoch
+    from seeme_tpu.train.checkpoint import (
+        load_pretrained_vae,
+        make_manager,
+        restore_state,
+        resume_scan,
+        save_state,
+    )
+    from seeme_tpu.utils.logger import TensorBoardWriter, create_experiment_dir, create_logger
+
+    overrides = {}
+    if args.batch_size:
+        overrides = {"TRAIN": {"BATCH_SIZE": args.batch_size}}
+    cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
+    if args.nodebug:
+        cfg["DEBUG"] = False
+    if args.epochs:
+        cfg["TRAIN"]["END_EPOCH"] = args.epochs
+
+    exp_dir = create_experiment_dir(cfg)
+    logger = create_logger(exp_dir)
+    save_config(cfg, os.path.join(exp_dir, "config.yaml"))
+    tb = TensorBoardWriter(exp_dir, enabled=bool(cfg.select("LOGGER.TENSORBOARD", True)))
+
+    stage = str(cfg.TRAIN.STAGE)
+    seed = int(cfg.get("SEED_VALUE", 1234))
+    datamodule = get_datamodule(cfg)
+    if getattr(datamodule, "is_synthetic", False):
+        logger.info("dataset release not found -> synthetic datamodule")
+
+    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+    params = system.init_params(jax.random.PRNGKey(seed))
+
+    pretrained_vae = str(cfg.select("TRAIN.PRETRAINED_VAE", "") or "")
+    if stage == "diffusion" and pretrained_vae and os.path.exists(pretrained_vae):
+        params = load_pretrained_vae(pretrained_vae, params)
+        logger.info("loaded pretrained VAE from %s", pretrained_vae)
+
+    batch_size = int(cfg.TRAIN.BATCH_SIZE)
+    end_epoch = int(cfg.TRAIN.END_EPOCH)
+    n_train = len(datamodule.train_set) if hasattr(datamodule, "train_set") else batch_size
+    steps_per_epoch = max(n_train // batch_size, 1)
+
+    optimizer = make_optimizer(
+        stage,
+        params,
+        lr=float(cfg.TRAIN.OPTIM.LR),
+        step_size_epochs=int(cfg.select("TRAIN.OPTIM.STEP_SIZE", end_epoch)),
+        gamma=float(cfg.select("TRAIN.OPTIM.GAMMA", 0.2)),
+        steps_per_epoch=steps_per_epoch,
+    )
+    state = create_train_state(params, optimizer, jax.random.PRNGKey(seed + 1))
+
+    manager = make_manager(exp_dir)
+    start_epoch = 0
+    resume = str(cfg.select("TRAIN.RESUME", "") or "")
+    if resume:
+        _, latest = resume_scan(resume)
+        if latest is not None:
+            state, step = restore_state(make_manager(resume), state)
+            start_epoch = step // steps_per_epoch
+            logger.info("resumed from %s @ step %d (epoch %d)", resume, step, start_epoch)
+
+    mesh = make_mesh(model_axis=int(cfg.select("MESH.MODEL_AXIS", 1)))
+    logger.info(
+        "stage=%s devices=%d mesh=%s batch=%d steps/epoch=%d",
+        stage, len(jax.devices()), dict(zip(mesh.axis_names, mesh.devices.shape)),
+        batch_size, steps_per_epoch,
+    )
+    train_step = make_train_step(system, stage, optimizer, mesh=mesh)
+
+    ckpt_every = int(cfg.select("LOGGER.SACE_CHECKPOINT_EPOCH", 200))
+    log_every = max(int(cfg.select("LOGGER.LOG_EVERY_STEPS", 1)), 1)
+
+    t_start = time.perf_counter()
+    for epoch in range(start_epoch, end_epoch):
+        state, means = run_epoch(
+            train_step,
+            state,
+            datamodule.batches("train", batch_size, seed=seed + epoch),
+            mesh=mesh,
+        )
+        if epoch % log_every == 0:
+            msg = " ".join(f"{k}={v:.5f}" for k, v in sorted(means.items()))
+            logger.info("epoch %d/%d %s", epoch, end_epoch, msg)
+            tb.scalars(int(state.step), means, prefix=f"{stage}/")
+        if (epoch + 1) % ckpt_every == 0 or epoch + 1 == end_epoch:
+            save_state(manager, state, int(state.step))
+            logger.info("checkpoint @ step %d", int(state.step))
+
+    elapsed = time.perf_counter() - t_start
+    logger.info("done: %d epochs in %.1fs", end_epoch - start_epoch, elapsed)
+    tb.close()
+
+
+if __name__ == "__main__":
+    main()
