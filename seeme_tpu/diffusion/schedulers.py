@@ -165,6 +165,61 @@ class DiffusionSchedule:
         return jnp.where(t > 0, mean + jnp.sqrt(variance) * noise, mean)
 
 
+def space_timesteps(num_timesteps: int, section_counts) -> np.ndarray:
+    """OpenAI guided-diffusion timestep respacing
+    (`EgoHMR/diffusion/respace.py:8-61`): 'ddimN' uses stride T//N; otherwise
+    comma-separated per-section counts with evenly spaced steps."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired = int(section_counts[len("ddim"):])
+            for i in range(1, num_timesteps):
+                if len(range(0, num_timesteps, i)) == desired:
+                    return np.arange(0, num_timesteps, i)
+            raise ValueError(f"cannot create exactly {desired} steps with stride")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    all_steps = []
+    start = 0
+    for i, count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"cannot divide section of {size} steps into {count}")
+        stride = 1 if count <= 1 else (size - 1) / (count - 1)
+        cur = 0.0
+        taken = []
+        for _ in range(count):
+            taken.append(start + round(cur))
+            cur += stride
+        all_steps += taken
+        start += size
+    return np.asarray(sorted(set(all_steps)))
+
+
+def respaced_schedule(
+    base: DiffusionSchedule, use_timesteps: np.ndarray
+) -> Tuple["DiffusionSchedule", np.ndarray]:
+    """Build a shorter schedule over a timestep subsequence
+    (`EgoHMR/diffusion/respace.py:64-130` SpacedDiffusion): new betas are
+    1 - acp[t_i]/acp[t_{i-1}] so alphas_cumprod is exactly the subsequence.
+
+    Returns (schedule, timestep_map): the sampler iterates 0..len-1 over the
+    new schedule while the model is called with timestep_map[t]."""
+    acp = np.asarray(base.alphas_cumprod)
+    use = np.asarray(sorted(use_timesteps))
+    new_acp = acp[use]
+    prev = np.concatenate([[1.0], new_acp[:-1]])
+    new_betas = 1.0 - new_acp / prev
+    sched = object.__new__(DiffusionSchedule)
+    for f in ("beta_start", "beta_end", "beta_schedule", "clip_sample",
+              "set_alpha_to_one", "steps_offset", "prediction_type"):
+        object.__setattr__(sched, f, getattr(base, f))
+    object.__setattr__(sched, "num_train_timesteps", len(use))
+    object.__setattr__(sched, "betas", jnp.asarray(new_betas, jnp.float32))
+    object.__setattr__(sched, "alphas_cumprod", jnp.asarray(np.cumprod(1.0 - new_betas), jnp.float32))
+    return sched, use
+
+
 def snr(schedule: DiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
     """Signal-to-noise ratio acp/(1-acp) — used by loss-weighting ablations."""
     acp = schedule.alphas_cumprod[t]

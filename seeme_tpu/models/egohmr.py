@@ -1,0 +1,368 @@
+"""EgoHMR: scene-conditioned diffusion-GCN human mesh recovery.
+
+Reimplements `EgoHMR/models/egohmr/egohmr.py:36-470` plus the parts of the
+vendored guided-diffusion library it samples with (`EgoHMR/diffusion/`:
+cosine schedule, x0-prediction, timestep respacing — covered by
+`seeme_tpu/diffusion/schedulers.py`).
+
+Per-joint conditioning (`forward:197-260`): each of the 24 SMPL joints gets
+[img-feats masked by per-joint visibility (2048) | scene (512) | transl (128)
+| cam (6)] concatenated with the embedded noisy rot6d and the timestep
+embedding, and a ModulatedGCN over the skeleton adjacency predicts x0 in the
+normalized 'diffusion'-layout rot6d space. Classifier-free masking zeroes the
+image block only (`mask_cond:173-193`, only_mask_img_cond=True as shipped);
+at sampling the visibility-guided fusion keeps image-conditioned rotations
+for visible joints and scene-only rotations elsewhere (`:263-278`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rotations import rot6d_to_rotmat
+from ..core.smpl import SmplModel, smpl_forward
+from ..diffusion.schedulers import DiffusionSchedule, respaced_schedule, space_timesteps
+from ..nn.gcn import ModulatedGCN, smpl_adjacency
+from ..nn.pointnet import ResnetPointnet
+from ..nn.resnet import resnet50
+
+# OpenPose-25 index providing visibility for each SMPL joint
+# (`egohmr.py:119`, pelvis_vis_loosen=False)
+OPENPOSE_TO_SMPL = np.array(
+    [8, 12, 9, 8, 13, 10, 8, 14, 11, 8, 14, 11, 0, 5, 2, 0, 5, 2, 6, 3, 7, 4, 7, 4]
+)
+
+
+@dataclass(frozen=True)
+class EgoHmrConfig:
+    img_feat_dim: int = 2048
+    scene_feat_dim: int = 512
+    transl_embed_dim: int = 128
+    input_process_dim: int = 512
+    timestep_embed_dim: int = 512
+    gcn_hid_dim: int = 1024
+    gcn_layers: int = 4
+    cond_mask_prob: float = 0.01
+    only_mask_img_cond: bool = True
+    with_focal_length: bool = True
+    with_bbox_info: bool = True
+    with_cam_center: bool = True
+    fx_norm_coeff: float = 1500.0
+    num_train_timesteps: int = 1000
+    timestep_respacing: str = "ddim50"
+
+    @property
+    def cam_feat_dim(self) -> int:
+        return int(self.with_focal_length) + 3 * int(self.with_bbox_info) + 2 * int(self.with_cam_center)
+
+    @property
+    def context_dim(self) -> int:
+        return self.img_feat_dim + self.scene_feat_dim + self.transl_embed_dim + self.cam_feat_dim
+
+    @property
+    def gcn_in_dim(self) -> int:
+        return self.context_dim + self.input_process_dim + self.timestep_embed_dim
+
+
+def _sinusoidal_table(max_len: int, d: int) -> np.ndarray:
+    """The PositionalEncoding table indexed by timestep
+    (`egohmr.py:634-651`)."""
+    pe = np.zeros((max_len, d), np.float32)
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * (-math.log(10000.0) / d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+class TimestepEmbedder(nn.Module):
+    """time_embed(pe[timesteps]) (`egohmr.py:654-668`)."""
+
+    latent_dim: int = 512
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        table = jnp.asarray(_sinusoidal_table(self.max_len, self.latent_dim))
+        h = table[timesteps]
+        h = nn.Dense(self.latent_dim, name="linear_1")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.latent_dim, name="linear_2")(h)
+
+
+class TranslEnc(nn.Module):
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.out_dim, name="fc2")(nn.relu(nn.Dense(64, name="fc1")(x)))
+
+
+class FCHeadBeta(nn.Module):
+    """Betas from conditioning feats (+ optional pose) (`egohmr.py:683-704`)."""
+
+    condition_on_pose: bool = False
+
+    @nn.compact
+    def __call__(self, feats, pred_pose=None, init_betas=None):
+        if self.condition_on_pose and pred_pose is not None:
+            feats = jnp.concatenate([feats, pred_pose], axis=-1)
+        h = nn.relu(nn.Dense(1024, name="fc1")(feats))
+        offset = nn.Dense(10, kernel_init=nn.initializers.xavier_uniform(), name="fc2")(h)
+        return offset + (init_betas if init_betas is not None else 0.0)
+
+
+class EgoHmr:
+    """Composed model with pure forward / loss / sampling functions."""
+
+    def __init__(self, cfg: EgoHmrConfig, smpl: SmplModel,
+                 body_rep_mean: Optional[np.ndarray] = None,
+                 body_rep_std: Optional[np.ndarray] = None,
+                 mean_betas: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.smpl = smpl
+        self.backbone = resnet50()
+        self.scene_enc = ResnetPointnet(out_dim=cfg.scene_feat_dim, hidden_dim=256)
+        self.transl_enc = TranslEnc(cfg.transl_embed_dim)
+        self.timestep_embedder = TimestepEmbedder(cfg.timestep_embed_dim)
+        self.input_process = nn.Dense(cfg.input_process_dim, name="pose_embedding")
+        self.gcn = ModulatedGCN(
+            adj=smpl_adjacency(), hid_dim=cfg.gcn_hid_dim,
+            out_dim=6, num_layers=cfg.gcn_layers,
+        )
+        self.beta_layer = FCHeadBeta(condition_on_pose=False)
+        self.body_rep_mean = jnp.asarray(
+            body_rep_mean if body_rep_mean is not None else np.zeros(144, np.float32)
+        )
+        self.body_rep_std = jnp.asarray(
+            body_rep_std if body_rep_std is not None else np.ones(144, np.float32)
+        )
+        self.init_betas = jnp.asarray(
+            mean_betas if mean_betas is not None else np.zeros(10, np.float32)
+        )
+        # x0-prediction cosine-schedule diffusion (`EgoHMR/diffusion/
+        # gaussian_diffusion.py:22-45, 721`), respaced for sampling
+        self.schedule = DiffusionSchedule(
+            num_train_timesteps=cfg.num_train_timesteps,
+            beta_schedule="squaredcos_cap_v2",
+            prediction_type="sample",
+            clip_sample=False,
+        )
+        self.sample_schedule, self.timestep_map = respaced_schedule(
+            self.schedule, space_timesteps(cfg.num_train_timesteps, cfg.timestep_respacing)
+        )
+
+    def init_params(self, rng: jax.Array) -> Dict:
+        cfg = self.cfg
+        rs = jax.random.split(rng, 7)
+        return {
+            "backbone": self.backbone.init(rs[0], jnp.zeros((1, 224, 224, 3)), train=False),
+            "scene_enc": self.scene_enc.init(rs[1], jnp.zeros((1, 16, 3))),
+            "transl_enc": self.transl_enc.init(rs[2], jnp.zeros((1, 3))),
+            "timestep_embedder": self.timestep_embedder.init(rs[3], jnp.zeros((1,), jnp.int32)),
+            "input_process": self.input_process.init(rs[4], jnp.zeros((1, 24, 6))),
+            "gcn": self.gcn.init(rs[5], jnp.zeros((1, 24, cfg.gcn_in_dim))),
+            "beta_layer": self.beta_layer.init(rs[6], jnp.zeros((1, cfg.context_dim))),
+        }
+
+    # ------------------------------------------------------------- encoders
+    def encode_image(self, params, img):
+        return self.backbone.apply(params["backbone"], img, train=False)
+
+    def encode_scene(self, params, pcd):
+        return self.scene_enc.apply(params["scene_enc"], pcd)
+
+    def encode_transl(self, params, transl):
+        return self.transl_enc.apply(params["transl_enc"], transl)
+
+    def pred_betas(self, params, feats):
+        return self.beta_layer.apply(
+            params["beta_layer"], feats, init_betas=self.init_betas
+        )
+
+    # ----------------------------------------------------------- conditioning
+    def _cam_feats(self, batch: Dict) -> jnp.ndarray:
+        cfg = self.cfg
+        feats = []
+        if cfg.with_focal_length:
+            feats = [batch["fx"][:, None]] + feats
+        if cfg.with_bbox_info:
+            orig_fx = batch["fx"] * cfg.fx_norm_coeff
+            bbox = jnp.stack(
+                [batch["box_center"][:, 0] / orig_fx,
+                 batch["box_center"][:, 1] / orig_fx,
+                 batch["box_size"] / orig_fx], axis=-1)
+            feats = [bbox] + feats
+        if cfg.with_cam_center:
+            orig_fx = batch["fx"] * cfg.fx_norm_coeff
+            cam = jnp.stack([batch["cam_cx"] / orig_fx, batch["cam_cy"] / orig_fx], axis=-1)
+            feats = [cam] + feats
+        return jnp.concatenate(feats, axis=-1)
+
+    def visibility_mask(self, batch: Dict) -> jnp.ndarray:
+        """Per-SMPL-joint visibility from OpenPose 2D confidences
+        (`forward:209-213`); pelvis always visible."""
+        vis_op = batch["orig_keypoints_2d"][:, :, -1] > 0
+        vis_op = vis_op.at[:, 8].set(True)
+        return vis_op[:, OPENPOSE_TO_SMPL]  # (B, 24)
+
+    def conditioning(
+        self, params: Dict, batch: Dict, vis_mask: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(B, 24, context_dim): [masked img | scene | transl | cam]."""
+        img_feats = self.encode_image(params, batch["img"])  # (B, 2048)
+        img_per_joint = img_feats[:, None, :] * vis_mask[..., None]
+        scene = self.encode_scene(params, batch["scene_pcd"])
+        transl_feat = self.encode_transl(params, batch["smpl_params"]["transl"])
+        rest = jnp.concatenate([scene, transl_feat, self._cam_feats(batch)], axis=-1)
+        rest = jnp.broadcast_to(rest[:, None], (rest.shape[0], 24, rest.shape[-1]))
+        return jnp.concatenate([img_per_joint, rest], axis=-1)
+
+    def mask_cond(
+        self, cond: jnp.ndarray, rng: Optional[jax.Array] = None,
+        force_mask: bool = False, train: bool = False,
+    ) -> jnp.ndarray:
+        """`mask_cond` (`egohmr.py:173-193`): zero the image block (first
+        2048 dims) — per-sample Bernoulli at train time, all samples when
+        force_mask (the scene-only CFG branch)."""
+        cfg = self.cfg
+        D_img = cfg.img_feat_dim
+        if force_mask:
+            if cfg.only_mask_img_cond:
+                return cond.at[:, :, :D_img].set(0.0)
+            return jnp.zeros_like(cond)
+        if train and cfg.cond_mask_prob > 0 and rng is not None:
+            B = cond.shape[0]
+            drop = jax.random.bernoulli(rng, cfg.cond_mask_prob, (B, 1, 1))
+            if cfg.only_mask_img_cond:
+                img = jnp.where(drop, 0.0, cond[:, :, :D_img])
+                return jnp.concatenate([img, cond[:, :, D_img:]], axis=-1)
+            return jnp.where(drop, 0.0, cond)
+        return cond
+
+    # ------------------------------------------------------------- denoising
+    def denoise(
+        self, params: Dict, cond: jnp.ndarray, x_t: jnp.ndarray,
+        timesteps: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """(B, 144) noisy normalized rot6d + conditioning -> predicted x0."""
+        B = x_t.shape[0]
+        x_feat = self.input_process.apply(params["input_process"], x_t.reshape(B, 24, 6))
+        t_emb = self.timestep_embedder.apply(params["timestep_embedder"], timesteps)
+        t_emb = jnp.broadcast_to(t_emb[:, None], (B, 24, t_emb.shape[-1]))
+        feat = jnp.concatenate([cond, x_feat, t_emb], axis=-1)
+        return self.gcn.apply(params["gcn"], feat).reshape(B, 144)
+
+    def forward(
+        self, params: Dict, batch: Dict, x_t: jnp.ndarray,
+        timesteps: jnp.ndarray, rng: Optional[jax.Array] = None,
+        train: bool = False, eval_with_uncond: bool = False,
+    ) -> Dict:
+        """One denoiser evaluation producing SMPL outputs (`forward:197-327`)."""
+        cfg = self.cfg
+        B = x_t.shape[0]
+        vis_mask = self.visibility_mask(batch)
+        cond = self.conditioning(params, batch, vis_mask)
+        cond_masked = self.mask_cond(cond, rng=rng, train=train)
+        pred_x0 = self.denoise(params, cond_masked, x_t, timesteps)
+
+        if eval_with_uncond:
+            # visibility-guided fusion (`:263-278`): scene-only result for
+            # invisible joints, image-conditioned for visible ones
+            cond_uncond = self.mask_cond(cond, force_mask=True)
+            pred_uncond = self.denoise(params, cond_uncond, x_t, timesteps)
+            vis6 = jnp.repeat(vis_mask, 6, axis=-1)  # (B, 144)
+            pred_x0 = jnp.where(vis6, pred_x0, pred_uncond)
+
+        out = {"pred_x_start": pred_x0, "vis_mask_smpl": vis_mask}
+        pose_6d = pred_x0 * self.body_rep_std + self.body_rep_mean
+        rotmats = rot6d_to_rotmat(pose_6d.reshape(-1, 6), mode="diffusion").reshape(B, 24, 3, 3)
+
+        img_feats = cond[:, 0, : cfg.img_feat_dim]  # unmasked row exists when joint visible
+        # betas conditioned on the *unmasked* image/scene/transl/cam feats
+        # (`forward:286-289` rebuilds them without the visibility mask)
+        scene = self.encode_scene(params, batch["scene_pcd"])
+        transl_feat = self.encode_transl(params, batch["smpl_params"]["transl"])
+        beta_feats = jnp.concatenate(
+            [self.encode_image(params, batch["img"]), scene, transl_feat, self._cam_feats(batch)],
+            axis=-1,
+        )
+        betas = self.pred_betas(params, beta_feats)
+
+        out["pred_smpl_params"] = {
+            "global_orient": rotmats[:, :1],
+            "body_pose": rotmats[:, 1:],
+            "betas": betas,
+        }
+        out["pred_pose_6d"] = pose_6d
+        smpl_out = smpl_forward(self.smpl, betas, rotmats[:, 1:], rotmats[:, :1], pose2rot=False)
+        out["pred_keypoints_3d"] = smpl_out["joints"]
+        out["pred_vertices"] = smpl_out["vertices"]
+        transl = batch["smpl_params"]["transl"]
+        out["pred_keypoints_3d_full"] = out["pred_keypoints_3d"] + transl[:, None]
+        return out
+
+    # --------------------------------------------------------------- training
+    def training_loss(
+        self, params: Dict, batch: Dict, rng: jax.Array
+    ) -> Tuple[jnp.ndarray, Dict]:
+        """x0-prediction MSE in normalized rot6d space
+        (`EgoHMR/diffusion/gaussian_diffusion.py:721` training_losses)."""
+        B = batch["img"].shape[0]
+        x0 = batch["body_rep"]  # (B, 144) normalized diffusion-6d GT pose
+        t_rng, n_rng, m_rng = jax.random.split(rng, 3)
+        t = jax.random.randint(t_rng, (B,), 0, self.schedule.num_train_timesteps)
+        noise = jax.random.normal(n_rng, x0.shape)
+        x_t = self.schedule.add_noise(x0, noise, t)
+        out = self.forward(params, batch, x_t, t, rng=m_rng, train=True)
+        mse = jnp.mean((out["pred_x_start"] - x0) ** 2)
+        return mse, {"diffusion_mse": mse, **{"total": mse}}
+
+    # --------------------------------------------------------------- sampling
+    def sample(
+        self, params: Dict, batch: Dict, rng: jax.Array,
+        eval_with_uncond: bool = True,
+    ) -> Dict:
+        """Respaced ancestral sampling with x0 prediction and the
+        visibility-guided fusion at every step (`test_egohmr.py` +
+        `diffusion/respace.py`). Compiled as one lax.scan."""
+        B = batch["img"].shape[0]
+        sched = self.sample_schedule
+        tmap = jnp.asarray(self.timestep_map)
+
+        # Precompute conditioning once — it is timestep-independent.
+        vis_mask = self.visibility_mask(batch)
+        cond = self.conditioning(params, batch, vis_mask)
+        cond_uncond = self.mask_cond(cond, force_mask=True)
+        vis6 = jnp.repeat(vis_mask, 6, axis=-1)
+
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, (B, 144))
+        timesteps = jnp.arange(sched.num_train_timesteps - 1, -1, -1)
+
+        def body(carry, t):
+            x, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            model_t = tmap[t]
+            pred_cond = self.denoise(params, cond, x, jnp.full((B,), model_t))
+            if eval_with_uncond:
+                pred_un = self.denoise(params, cond_uncond, x, jnp.full((B,), model_t))
+                pred = jnp.where(vis6, pred_cond, pred_un)
+            else:
+                pred = pred_cond
+            noise = jax.random.normal(step_rng, x.shape)
+            x = sched.ddpm_step(pred, t, x, noise)
+            return (x, rng), None
+
+        (x, _), _ = jax.lax.scan(body, (x, rng), timesteps)
+        final_t = jnp.zeros((B,), jnp.int32)
+        return self.forward(
+            params, batch, x, final_t, eval_with_uncond=eval_with_uncond
+        )

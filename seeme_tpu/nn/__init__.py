@@ -18,3 +18,6 @@ from .transformer import (
     TransformerDecoderLayer,
     TransformerEncoderLayer,
 )
+from .gcn import ModulatedGCN, ModulatedGraphConv, smpl_adjacency
+from .pointnet import ResnetBlockFC, ResnetPointnet
+from .resnet import ResNet, resnet50
