@@ -28,3 +28,4 @@ __all__ = [
     "smpl_forward",
     "synthetic_smpl",
 ]
+from .ric import qinv, qmul, qrot, recover_from_ric, recover_root_rot_pos

@@ -1,2 +1,3 @@
 from .metrics import EgoMetric, ego_sequence_metrics, interactee_mpjpe
 from .stats import get_metric_statistics
+from .t2m_metrics import MMMetrics, MRMetrics, TM2TMetrics

@@ -1,0 +1,170 @@
+"""Text-to-motion system (HumanML3D / KIT): the legacy-MLD path.
+
+The same MotionVae + Denoiser stack as SEE-ME, conditioned on a frozen CLIP
+text embedding instead of interactee/scene tokens (`mld.py:360-408` forward,
+`t2m_eval` `mld.py:1907-1996`). Variable length is handled with masks over a
+static max_len. CFG doubles the batch with empty-caption embeddings
+(`mld.py:369-376`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.masks import lengths_to_mask
+from ..diffusion.sampling import ddim_sample
+from ..diffusion.schedulers import DiffusionSchedule
+from ..train.losses import diffusion_losses, kl_standard_normal, smooth_l1
+from .denoiser import Denoiser
+from .vae import MotionVae, reparameterize
+
+
+@dataclass(frozen=True)
+class T2MConfig:
+    nfeats: int = 263
+    max_len: int = 196
+    latent_dim: Tuple[int, int] = (1, 256)
+    ff_size: int = 128
+    num_layers: int = 5
+    num_heads: int = 1
+    dropout: float = 0.1
+    text_encoded_dim: int = 768
+    guidance_scale: float = 7.5
+    guidance_uncondp: float = 0.1
+    num_inference_timesteps: int = 50
+    lambda_kl: float = 1e-4
+    lambda_rec: float = 1.0
+    lambda_joint: float = 1.0
+
+
+class T2MSystem:
+    def __init__(self, cfg: T2MConfig):
+        self.cfg = cfg
+        self.vae = MotionVae(
+            nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
+            ff_size=cfg.ff_size, num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads, dropout=cfg.dropout,
+        )
+        self.denoiser = Denoiser(
+            nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
+            ff_size=cfg.ff_size, num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads, dropout=cfg.dropout,
+            text_encoded_dim=cfg.text_encoded_dim, md_trans=False,
+        )
+        self.schedule = DiffusionSchedule()
+
+    def init_params(self, rng: jax.Array) -> Dict:
+        cfg = self.cfg
+        r1, r2 = jax.random.split(rng)
+        return {
+            "vae": self.vae.init(r1, jnp.zeros((1, cfg.max_len, cfg.nfeats))),
+            "denoiser": self.denoiser.init(
+                r2,
+                jnp.zeros((1, cfg.latent_dim[0], cfg.latent_dim[1])),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 1, cfg.text_encoded_dim)),
+            ),
+        }
+
+    # ------------------------------------------------------------------ vae
+    def vae_loss(self, params: Dict, batch: Dict, rng: jax.Array,
+                 feats2joints=None):
+        cfg = self.cfg
+        motion, lengths = batch["motion"], batch["length"]
+        drop_rng, z_rng = jax.random.split(rng)
+        mu, logvar = self.vae.apply(
+            params["vae"], motion, lengths, deterministic=False,
+            rngs={"dropout": drop_rng}, method=self.vae.encode,
+        )
+        z = reparameterize(z_rng, mu, logvar)
+        rst = self.vae.apply(
+            params["vae"], z, cfg.max_len, lengths, deterministic=False,
+            rngs={"dropout": drop_rng}, method=self.vae.decode,
+        )
+        mask = lengths_to_mask(lengths, cfg.max_len)[..., None]
+        terms = {}
+        terms["recons_feature"] = smooth_l1(rst * mask, motion * mask)
+        total = cfg.lambda_rec * terms["recons_feature"]
+        if feats2joints is not None:
+            j_rst = feats2joints(rst)
+            j_ref = feats2joints(motion)
+            m4 = mask[..., None]
+            terms["recons_joints"] = smooth_l1(j_rst * m4, j_ref * m4)
+            total += cfg.lambda_joint * terms["recons_joints"]
+        terms["kl_motion"] = kl_standard_normal(mu, logvar)
+        total += cfg.lambda_kl * terms["kl_motion"]
+        terms["total"] = total
+        return total, terms
+
+    # ------------------------------------------------------------ diffusion
+    def diffusion_loss(self, params: Dict, batch: Dict, rng: jax.Array):
+        """Train-time CFG: whole-sample text dropout with prob
+        guidance_uncondp (the standard MLD text path; uncond = zero
+        embedding)."""
+        cfg = self.cfg
+        motion, lengths = batch["motion"], batch["length"]
+        text_emb = batch["text_emb"]
+        if text_emb.ndim == 2:
+            text_emb = text_emb[:, None, :]
+        z_rng, m_rng, t_rng, n_rng, d_rng = jax.random.split(rng, 5)
+        mu, logvar = self.vae.apply(
+            params["vae"], motion, lengths, method=self.vae.encode
+        )
+        z = reparameterize(z_rng, mu, logvar)
+        drop = jax.random.bernoulli(
+            m_rng, cfg.guidance_uncondp, (text_emb.shape[0], 1, 1)
+        )
+        text_emb = jnp.where(drop, 0.0, text_emb)
+        B = z.shape[0]
+        noise = jax.random.normal(n_rng, z.shape)
+        t = jax.random.randint(t_rng, (B,), 0, self.schedule.num_train_timesteps)
+        noisy = self.schedule.add_noise(z, noise, t)
+        pred = self.denoiser.apply(
+            params["denoiser"], noisy, t, text_emb,
+            deterministic=False, rngs={"dropout": d_rng},
+        )
+        return diffusion_losses(pred, noise)
+
+    # -------------------------------------------------------------- sampling
+    def sample(
+        self, params: Dict, text_emb: jnp.ndarray, rng: jax.Array,
+        lengths: Optional[jnp.ndarray] = None,
+        nframes: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """text embedding (B, 1, 768) -> motion features (B, T, nfeats)."""
+        cfg = self.cfg
+        if text_emb.ndim == 2:
+            text_emb = text_emb[:, None, :]
+        B = text_emb.shape[0]
+        if cfg.guidance_scale > 1.0:
+            cond = jnp.concatenate([jnp.zeros_like(text_emb), text_emb], axis=0)
+        else:
+            cond = text_emb
+
+        def denoiser_fn(x, t, step_rng):
+            return self.denoiser.apply(params["denoiser"], x, t, cond)
+
+        z = ddim_sample(
+            denoiser_fn, self.schedule, rng,
+            (B, cfg.latent_dim[0], cfg.latent_dim[1]),
+            num_inference_steps=cfg.num_inference_timesteps,
+            guidance_scale=cfg.guidance_scale,
+        )
+        return self.vae.apply(
+            params["vae"], z, nframes or cfg.max_len, lengths,
+            method=self.vae.decode,
+        )
+
+    def reconstruct(self, params: Dict, batch: Dict, rng: jax.Array):
+        cfg = self.cfg
+        mu, logvar = self.vae.apply(
+            params["vae"], batch["motion"], batch["length"], method=self.vae.encode
+        )
+        z = reparameterize(rng, mu, logvar)
+        return self.vae.apply(
+            params["vae"], z, cfg.max_len, batch["length"], method=self.vae.decode
+        )

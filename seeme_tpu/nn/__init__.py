@@ -21,3 +21,4 @@ from .transformer import (
 from .gcn import ModulatedGCN, ModulatedGraphConv, smpl_adjacency
 from .pointnet import ResnetBlockFC, ResnetPointnet
 from .resnet import ResNet, resnet50
+from .gru import BiGru, GruCell, MotionEncoderBiGRUCo, MovementConvEncoder, TextEncoderBiGRUCo
