@@ -173,6 +173,10 @@ class ProHMRScene:
         return self.backbone.apply(params["backbone"], img, train=False)
 
     def encode_scene(self, params: Dict, pcd: jnp.ndarray) -> jnp.ndarray:
+        if jax.default_backend() != "cpu":
+            from ..ops.pointnet_pallas import pointnet_forward_pallas
+
+            return pointnet_forward_pallas(params["scene_enc"], pcd)
         return self.scene_enc.apply(params["scene_enc"], pcd)
 
     def conditioning_features(self, params: Dict, batch: Dict) -> jnp.ndarray:

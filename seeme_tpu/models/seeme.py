@@ -207,8 +207,14 @@ class SeeMeSystem:
 
     def encode_scene(self, params: Dict, scene: jnp.ndarray) -> jnp.ndarray:
         """(B, N, 3) point cloud -> (B, 1, d) condition token
-        (`mld.py:911-922`: frozen PointNet then trainable projection)."""
-        feats = self.scene_encoder.apply(params["scene_encoder"], scene)
+        (`mld.py:911-922`: frozen PointNet then trainable projection).
+        Routes through the fused Pallas kernels on TPU (`ops/pointnet_pallas`)."""
+        if jax.default_backend() != "cpu":
+            from ..ops.pointnet_pallas import pointnet_forward_pallas
+
+            feats = pointnet_forward_pallas(params["scene_encoder"], scene)
+        else:
+            feats = self.scene_encoder.apply(params["scene_encoder"], scene)
         return self.output_scene.apply(params["output_scene"], feats)[:, None, :]
 
     def encode_motion_latent(
