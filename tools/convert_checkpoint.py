@@ -1,0 +1,422 @@
+#!/usr/bin/env python
+"""torch -> seeme_tpu checkpoint conversion.
+
+Covers the four checkpoint families the reference loads (SURVEY.md
+hard-parts #4), with their key-filtering conventions:
+
+  * MLD Lightning checkpoints (vae + denoiser): stage-2 strips the `vae.`
+    prefix for the strict VAE load (`train.py:155-167`); the text-encoder
+    weights are absent by construction (`modeltype/base.py:124-132`).
+  * ProHMR `best_model.pt`: `smpl.*` keys dropped (`mld.py:196-203`);
+    backbone / scene_enc / flow / fc_head / discriminator.
+  * EgoHMR `best_model_mpjpe_vis.pt`: same filtering.
+  * t2m evaluator checkpoints (text/movement/motion encoders).
+
+Usage:
+  python tools/convert_checkpoint.py --kind mld --src epoch=5999.ckpt \
+      --dst converted/ [--cfg configs/config_mld_egobody.yaml]
+
+The module-level `convert_*` functions are pure dict -> dict maps usable as a
+library (the parity tests build torch modules and compare outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def convert_linear(sd: Dict, prefix: str) -> Dict:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_layernorm(sd: Dict, prefix: str) -> Dict:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def convert_mha(sd: Dict, prefix: str) -> Dict:
+    """torch.nn.MultiheadAttention -> our MultiHeadAttention: the packed
+    in_proj (3D, D) splits into q/k/v projections."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])
+    b = _t(sd[f"{prefix}.in_proj_bias"])
+    D = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:D].T, "bias": b[:D]},
+        "k_proj": {"kernel": w[D : 2 * D].T, "bias": b[D : 2 * D]},
+        "v_proj": {"kernel": w[2 * D :].T, "bias": b[2 * D :]},
+        "out_proj": convert_linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_encoder_layer(sd: Dict, prefix: str) -> Dict:
+    """TransformerEncoderLayer (`cross_attention.py:258-316`)."""
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+        "norm1": convert_layernorm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layernorm(sd, f"{prefix}.norm2"),
+    }
+
+
+def convert_decoder_layer(sd: Dict, prefix: str) -> Dict:
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "multihead_attn": convert_mha(sd, f"{prefix}.multihead_attn"),
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+        "norm1": convert_layernorm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layernorm(sd, f"{prefix}.norm2"),
+        "norm3": convert_layernorm(sd, f"{prefix}.norm3"),
+    }
+
+
+def convert_skip_transformer(sd: Dict, prefix: str, num_layers: int,
+                             decoder: bool = False) -> Dict:
+    """SkipTransformerEncoder/Decoder (`cross_attention.py:18-147`)."""
+    n_block = (num_layers - 1) // 2
+    conv = convert_decoder_layer if decoder else convert_encoder_layer
+    out: Dict = {}
+    for i in range(n_block):
+        out[f"input_{i}"] = conv(sd, f"{prefix}.input_blocks.{i}")
+        out[f"output_{i}"] = conv(sd, f"{prefix}.output_blocks.{i}")
+        out[f"skip_linear_{i}"] = convert_linear(sd, f"{prefix}.linear_blocks.{i}")
+    out["middle"] = conv(sd, f"{prefix}.middle_block")
+    out["norm"] = convert_layernorm(sd, f"{prefix}.norm")
+    return out
+
+
+def convert_learned_pe(sd: Dict, prefix: str) -> Dict:
+    """PositionEmbeddingLearned1D: (max_len, 1, d) buffer -> (max_len, d)."""
+    return {"pe": _t(sd[f"{prefix}.pe"])[:, 0, :]}
+
+
+def convert_motion_vae(sd: Dict, num_layers: int = 5) -> Dict:
+    """MldVae state dict (keys already stripped of any `vae.` prefix)."""
+    return {
+        "params": {
+            "global_motion_token": _t(sd["global_motion_token"]),
+            "skel_embedding": convert_linear(sd, "skel_embedding"),
+            "final_layer": convert_linear(sd, "final_layer"),
+            "query_pos_encoder": convert_learned_pe(sd, "query_pos_encoder"),
+            "query_pos_decoder": convert_learned_pe(sd, "query_pos_decoder"),
+            "encoder": convert_skip_transformer(sd, "encoder", num_layers),
+            "decoder": convert_skip_transformer(sd, "decoder", num_layers, decoder=True),
+        }
+    }
+
+
+def convert_stylization_block(sd: Dict, prefix: str) -> Dict:
+    """StylizationBlock (`mdiff_transformer.py:137-163`): emb_layers is
+    Sequential(SiLU, Linear) and out_layers Sequential(SiLU, Dropout, Linear)."""
+    return {
+        "emb_linear": convert_linear(sd, f"{prefix}.emb_layers.1"),
+        "norm": convert_layernorm(sd, f"{prefix}.norm"),
+        "out_linear": convert_linear(sd, f"{prefix}.out_layers.2"),
+    }
+
+
+def convert_md_layer(sd: Dict, prefix: str) -> Dict:
+    """LinearTemporalDiffusionTransformerDecoderLayer with
+    use_MLD_Transformer=True (`mdiff_transformer.py:257-304`)."""
+    return {
+        "sa_block": convert_encoder_layer(sd, f"{prefix}.sa_block"),
+        "ca_block": {
+            "norm": convert_layernorm(sd, f"{prefix}.ca_block.norm"),
+            "text_norm": convert_layernorm(sd, f"{prefix}.ca_block.text_norm"),
+            "query": convert_linear(sd, f"{prefix}.ca_block.query"),
+            "key": convert_linear(sd, f"{prefix}.ca_block.key"),
+            "value": convert_linear(sd, f"{prefix}.ca_block.value"),
+            "proj_out": convert_stylization_block(sd, f"{prefix}.ca_block.proj_out"),
+        },
+        "ffn": {
+            "linear1": convert_linear(sd, f"{prefix}.ffn.linear1"),
+            "linear2": convert_linear(sd, f"{prefix}.ffn.linear2"),
+            "proj_out": convert_stylization_block(sd, f"{prefix}.ffn.proj_out"),
+        },
+    }
+
+
+def convert_denoiser(sd: Dict, num_layers: int = 5, md_trans: bool = True) -> Dict:
+    n_block = (num_layers - 1) // 2
+    conv = convert_md_layer if md_trans else convert_encoder_layer
+    enc: Dict = {}
+    for i in range(n_block):
+        enc[f"input_{i}"] = conv(sd, f"encoder.input_blocks.{i}")
+        enc[f"output_{i}"] = conv(sd, f"encoder.output_blocks.{i}")
+        enc[f"skip_linear_{i}"] = convert_linear(sd, f"encoder.linear_blocks.{i}")
+    enc["middle"] = conv(sd, "encoder.middle_block")
+    enc["norm"] = convert_layernorm(sd, "encoder.norm")
+    params = {
+        "time_embedding": {
+            "linear_1": convert_linear(sd, "time_embedding.linear_1"),
+            "linear_2": convert_linear(sd, "time_embedding.linear_2"),
+        },
+        "query_pos": convert_learned_pe(sd, "query_pos"),
+        "encoder": enc,
+    }
+    if "emb_proj.1.weight" in sd:
+        params["emb_proj_dense"] = convert_linear(sd, "emb_proj.1")
+    if "pose_embd.weight" in sd:
+        params["pose_embd"] = convert_linear(sd, "pose_embd")
+        params["pose_proj"] = convert_linear(sd, "pose_proj")
+    return {"params": params}
+
+
+def convert_mld_checkpoint(state_dict: Dict, num_layers: int = 5,
+                           md_trans: bool = True) -> Dict:
+    """Full MLD Lightning checkpoint -> {vae, denoiser, output_scene...}.
+    Applies the reference's key filters: text_encoder absent, `smpl.*` /
+    `proscene.smpl.*` dropped."""
+    sd = {k: v for k, v in state_dict.items() if not k.startswith(("smpl_model.", "text_encoder."))}
+    vae_sd = {k[len("vae."):]: v for k, v in sd.items() if k.startswith("vae.")}
+    den_sd = {k[len("denoiser."):]: v for k, v in sd.items() if k.startswith("denoiser.")}
+    out = {
+        "vae": convert_motion_vae(vae_sd, num_layers),
+        "denoiser": convert_denoiser(den_sd, num_layers, md_trans),
+    }
+    if "output_scene.1.weight" in sd:
+        out["output_scene"] = {"params": {"linear": convert_linear(sd, "output_scene.1")}}
+    if "output_images.1.weight" in sd:
+        out["output_images"] = {"params": {"linear": convert_linear(sd, "output_images.1")}}
+    scene_sd = {
+        k[len("proscene.scene_enc."):]: v
+        for k, v in sd.items()
+        if k.startswith("proscene.scene_enc.")
+    }
+    if scene_sd:
+        out["scene_encoder"] = convert_pointnet(scene_sd)
+    return out
+
+
+def convert_pointnet(sd: Dict) -> Dict:
+    """ResnetPointnet -> split-block layout (`nn/pointnet.py`): blocks 1-3
+    take the concat [x; pooled]; the torch fc_0/shortcut weights split into
+    x/pooled halves by input rows."""
+    def split_block(prefix, h):
+        w0 = _t(sd[f"{prefix}.fc_0.weight"])  # (h, 2h)
+        ws = _t(sd[f"{prefix}.shortcut.weight"])  # (h, 2h)
+        return {
+            "fc_0_x": {"kernel": w0[:, :h].T, "bias": _t(sd[f"{prefix}.fc_0.bias"])},
+            "fc_0_p": {"kernel": w0[:, h:].T},
+            "fc_1": convert_linear(sd, f"{prefix}.fc_1"),
+            "shortcut_x": {"kernel": ws[:, :h].T},
+            "shortcut_p": {"kernel": ws[:, h:].T},
+        }
+
+    h = _t(sd["block_0.fc_0.weight"]).shape[0]
+    params = {
+        "fc_pos_0": convert_linear(sd, "fc_pos_0"),
+        "fc_c": convert_linear(sd, "fc_c"),
+        "block_0": {
+            "fc_0": convert_linear(sd, "block_0.fc_0"),
+            "fc_1": convert_linear(sd, "block_0.fc_1"),
+            "shortcut": {"kernel": _t(sd["block_0.shortcut.weight"]).T},
+        },
+    }
+    for i in (1, 2, 3):
+        params[f"block_{i}"] = split_block(f"block_{i}", h)
+    return {"params": params}
+
+
+def convert_glow(sd: Dict, prefix: str, num_layers: int, depth: int,
+                 use_batch_norm: bool = True) -> Dict:
+    """nflows ConditionalGlow -> flows/glow.py params. Transform indices:
+    layer i occupies composite slots 3i (ActNorm), 3i+1 (LULinear),
+    3i+2 (coupling)."""
+    layers = []
+    for i in range(num_layers):
+        an = f"{prefix}._transform._transforms.{3 * i}"
+        lu = f"{prefix}._transform._transforms.{3 * i + 1}"
+        cp = f"{prefix}._transform._transforms.{3 * i + 2}.transform_net"
+        resnet: Dict = {
+            "initial": convert_linear(sd, f"{cp}.initial_layer"),
+            "final": convert_linear(sd, f"{cp}.final_layer"),
+            "blocks": [],
+        }
+        for j in range(depth):
+            block = {
+                "linear0": convert_linear(sd, f"{cp}.blocks.{j}.linear_layers.0"),
+                "linear1": convert_linear(sd, f"{cp}.blocks.{j}.linear_layers.1"),
+            }
+            if use_batch_norm:
+                for k in (0, 1):
+                    bnp = f"{cp}.blocks.{j}.batch_norm_layers.{k}"
+                    block[f"bn{k}"] = {
+                        "scale": _t(sd[f"{bnp}.weight"]),
+                        "bias": _t(sd[f"{bnp}.bias"]),
+                        "mean": _t(sd[f"{bnp}.running_mean"]),
+                        "var": _t(sd[f"{bnp}.running_var"]),
+                    }
+            resnet["blocks"].append(block)
+        layers.append(
+            {
+                "actnorm": {
+                    "log_scale": _t(sd[f"{an}.log_scale"]),
+                    "shift": _t(sd[f"{an}.shift"]),
+                },
+                "lu": {
+                    "lower_entries": _t(sd[f"{lu}.lower_entries"]),
+                    "upper_entries": _t(sd[f"{lu}.upper_entries"]),
+                    "unconstrained_upper_diag": _t(sd[f"{lu}.unconstrained_upper_diag"]),
+                    "bias": _t(sd[f"{lu}.bias"]),
+                },
+                "coupling": {"resnet": resnet},
+            }
+        )
+    return {"layers": layers}
+
+
+def convert_resnet50(sd: Dict, prefix: str = "") -> Dict:
+    """torchvision-style ResNet50 -> nn/resnet.py params + batch stats."""
+    p = (prefix + ".") if prefix else ""
+
+    def conv(name):
+        return {"kernel": _t(sd[f"{p}{name}.weight"]).transpose(2, 3, 1, 0)}
+
+    def bn(name):
+        return (
+            {"scale": _t(sd[f"{p}{name}.weight"]), "bias": _t(sd[f"{p}{name}.bias"])},
+            {"mean": _t(sd[f"{p}{name}.running_mean"]), "var": _t(sd[f"{p}{name}.running_var"])},
+        )
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv1"] = conv("conv1")
+    params["bn1"], stats["bn1"] = bn("bn1")
+    blocks_per = {1: 3, 2: 4, 3: 6, 4: 3}
+    for stage, nb in blocks_per.items():
+        for b in range(nb):
+            name = f"layer{stage}_{b}"
+            t = f"layer{stage}.{b}"
+            sub_p: Dict = {}
+            sub_s: Dict = {}
+            for c in (1, 2, 3):
+                sub_p[f"conv{c}"] = conv(f"{t}.conv{c}")
+                sub_p[f"bn{c}"], sub_s[f"bn{c}"] = bn(f"{t}.bn{c}")
+            if f"{p}{t}.downsample.0.weight" in sd:
+                sub_p["downsample_conv"] = conv(f"{t}.downsample.0")
+                sub_p["downsample_bn"], sub_s["downsample_bn"] = bn(f"{t}.downsample.1")
+            params[name] = sub_p
+            stats[name] = sub_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_bigru(sd: Dict, prefix: str) -> Dict:
+    """torch.nn.GRU (bidirectional, 1 layer) -> nn/gru.py BiGru."""
+    def direction(suffix):
+        return {
+            "cell": {
+                "weight_ih": {
+                    "kernel": _t(sd[f"{prefix}.weight_ih_l0{suffix}"]).T,
+                    "bias": _t(sd[f"{prefix}.bias_ih_l0{suffix}"]),
+                },
+                "weight_hh": {
+                    "kernel": _t(sd[f"{prefix}.weight_hh_l0{suffix}"]).T,
+                    "bias": _t(sd[f"{prefix}.bias_hh_l0{suffix}"]),
+                },
+            }
+        }
+
+    return {"fwd": direction(""), "bwd": direction("_reverse")}
+
+
+def convert_t2m_textencoder(sd: Dict) -> Dict:
+    return {
+        "params": {
+            "pos_emb": convert_linear(sd, "pos_emb"),
+            "input_emb": convert_linear(sd, "input_emb"),
+            "hidden": _t(sd["hidden"]),
+            "gru": convert_bigru(sd, "gru"),
+            "out_0": convert_linear(sd, "output_net.0"),
+            "out_ln": convert_layernorm(sd, "output_net.1"),
+            "out_1": convert_linear(sd, "output_net.3"),
+        }
+    }
+
+
+def convert_t2m_motionencoder(sd: Dict) -> Dict:
+    return {
+        "params": {
+            "input_emb": convert_linear(sd, "input_emb"),
+            "hidden": _t(sd["hidden"]),
+            "gru": convert_bigru(sd, "gru"),
+            "out_0": convert_linear(sd, "output_net.0"),
+            "out_ln": convert_layernorm(sd, "output_net.1"),
+            "out_1": convert_linear(sd, "output_net.3"),
+        }
+    }
+
+
+def convert_t2m_movementencoder(sd: Dict) -> Dict:
+    return {
+        "params": {
+            "conv1": {
+                "kernel": _t(sd["main.0.weight"]).transpose(2, 1, 0),
+                "bias": _t(sd["main.0.bias"]),
+            },
+            "conv2": {
+                "kernel": _t(sd["main.3.weight"]).transpose(2, 1, 0),
+                "bias": _t(sd["main.3.bias"]),
+            },
+            "out_net": convert_linear(sd, "out_net"),
+        }
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", required=True,
+                    choices=["mld", "prohmr", "t2m_text", "t2m_motion", "t2m_move"])
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--num_layers", type=int, default=5)
+    ap.add_argument("--md_trans", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import torch
+
+    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+
+    if args.kind == "mld":
+        params = convert_mld_checkpoint(sd, args.num_layers, args.md_trans)
+    elif args.kind == "prohmr":
+        sd = {k: v for k, v in sd.items() if not k.startswith("smpl")}
+        params = {
+            "backbone": convert_resnet50(sd, "backbone"),
+            "scene_enc": convert_pointnet(
+                {k[len("scene_enc."):]: v for k, v in sd.items() if k.startswith("scene_enc.")}
+            ),
+            "flow": convert_glow(sd, "flow.flow", num_layers=4, depth=2),
+            "fc_head": {
+                "params": {
+                    "fc1": convert_linear(sd, "flow.fc_head.layers.0"),
+                    "fc2": convert_linear(sd, "flow.fc_head.layers.2"),
+                }
+            },
+        }
+    elif args.kind == "t2m_text":
+        params = convert_t2m_textencoder(sd)
+    elif args.kind == "t2m_motion":
+        params = convert_t2m_motionencoder(sd)
+    else:
+        params = convert_t2m_movementencoder(sd)
+
+    from seeme_tpu.train.checkpoint import save_params
+
+    save_params(args.dst, params)
+    print(f"converted {args.kind}: {args.src} -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
