@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""EgoBody/GIMO preprocessing: reference-layout shards -> fixed-shape npz.
+
+Replaces the per-item python work of `EgoBodyData3.__init__/__getitem__`
+(`mld/data/humanml/data/dataset.py:1055-1794`) and the reference's
+`pre_process_data.py` + `compute_mean_std.py` with a one-shot offline pass:
+
+  input : per-recording `.npy` dicts with the `pre_process_data.py:34-50`
+          schema — {video, recording_utils{center, scale, cx, cy, fx, fy,
+          frame, original_imgname}, interactee{betas, body_pose,
+          global_orient, transl}, wearer{...}} — split into
+          {root}/raw/{train,val,test}/ directories, plus optional
+          scene point-cloud pkls.
+  output: {root}/processed/{split}.npz with the batch contract of
+          `seeme_tpu/data/batch.py` + mean.npy/std.npy over the 75-dim
+          [global_orient(3) | body_pose(69) | transl(3)] feature vector
+          (the `our_process_smpl_split_NEW/{mean,std}.npy` contract,
+          normalization slices exactly as `dataset.py:1501-1627`).
+
+Sequences are cut into non-overlapping windows of `--motion-length` frames,
+shorter tails zero-padded with the true length recorded (`dataset.py:1504-1519`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+from glob import glob
+
+import numpy as np
+
+
+def windows(n_frames: int, motion_length: int):
+    for start in range(0, n_frames, motion_length):
+        yield start, min(motion_length, n_frames - start)
+
+
+def load_recording(path: str):
+    return np.load(path, allow_pickle=True).item()
+
+
+def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69):
+    """One recording dict -> list of fixed-shape examples (unnormalized)."""
+    out = []
+    wearer, interactee = rec["wearer"], rec["interactee"]
+    utils = rec.get("recording_utils", {})
+    n = np.asarray(wearer["body_pose"]).shape[0]
+
+    def actor_feats(actor, s, length):
+        go = np.asarray(actor["global_orient"], np.float32).reshape(n, -1)[s : s + length]
+        bp = np.asarray(actor["body_pose"], np.float32).reshape(n, -1)[s : s + length, :pose_dims]
+        tr = np.asarray(actor["transl"], np.float32).reshape(n, -1)[s : s + length]
+        bt = np.asarray(actor["betas"], np.float32).reshape(n, -1)[s : s + length]
+        return go, bp, tr, bt
+
+    for start, length in windows(n, motion_length):
+        ex = {"length": np.int32(length)}
+        feats = np.zeros((motion_length, 2, 3 + pose_dims), np.float32)
+        transl = np.zeros((2, motion_length, 3), np.float32)
+        betas = np.zeros((2, motion_length, 10), np.float32)
+        for a, actor in enumerate((wearer, interactee)):  # 0=wearer, 1=interactee
+            go, bp, tr, bt = actor_feats(actor, start, length)
+            feats[:length, a, :3] = go
+            feats[:length, a, 3:] = bp
+            transl[a, :length] = tr
+            betas[a, :length] = bt[:, :10]
+        cam = np.zeros((motion_length, 6), np.float32)
+        for i, key in enumerate(("fx", "cx", "cy")):
+            if key in utils:
+                v = np.asarray(utils[key], np.float32).reshape(-1)
+                cam[:length, i] = v[start : start + length] if v.size >= n else v[0]
+        ex.update(feats=feats, transl=transl, betas=betas, cam=cam)
+        out.append(ex)
+    return out
+
+
+def compute_mean_std(examples, pose_dims: int = 69):
+    """75-dim stats over valid frames of BOTH actors (the
+    `compute_mean_std.py` contract)."""
+    rows = []
+    for ex in examples:
+        L = int(ex["length"])
+        for a in range(2):
+            rows.append(
+                np.concatenate([ex["feats"][:L, a], ex["transl"][a, :L]], axis=-1)
+            )
+    flat = np.concatenate(rows)
+    mean = flat.mean(0, keepdims=True)
+    std = flat.std(0, keepdims=True) + 1e-8
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def normalize_examples(examples, mean, std, pose_dims: int = 69):
+    P = 3 + pose_dims
+    m_p, s_p = mean[0, :P], std[0, :P]
+    m_t, s_t = mean[0, P : P + 3], std[0, P : P + 3]
+    for ex in examples:
+        L = int(ex["length"])
+        ex["feats"][:L] = (ex["feats"][:L] - m_p) / s_p
+        for a in range(2):
+            ex["transl"][a, :L] = (ex["transl"][a, :L] - m_t) / s_t
+    return examples
+
+
+def pack(examples):
+    return {
+        k: np.stack([ex[k] for ex in examples])
+        for k in ("feats", "transl", "betas", "cam", "length")
+    }
+
+
+def attach_scene(packed, scene_dir: str, n_points: int):
+    """Optional scene point clouds: one pkl per recording with (N, 3) verts
+    (`pcd_verts_dict` contract, `dataset.py:1195-1213`), subsampled/tiled to
+    a fixed count."""
+    pkls = sorted(glob(os.path.join(scene_dir, "*.pkl")))
+    if not pkls:
+        return packed
+    clouds = []
+    for p in pkls:
+        with open(p, "rb") as f:
+            verts = np.asarray(pickle.load(f), np.float32).reshape(-1, 3)
+        idx = np.resize(np.arange(len(verts)), n_points)
+        clouds.append(verts[idx])
+    n = packed["feats"].shape[0]
+    packed["scene"] = np.stack([clouds[i % len(clouds)] for i in range(n)])
+    return packed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="dataset root (raw/ inside)")
+    ap.add_argument("--motion-length", type=int, default=60)
+    ap.add_argument("--pose-dims", type=int, default=69, help="69 egobody / 63 gimo")
+    ap.add_argument("--scene-points", type=int, default=20000)
+    args = ap.parse_args()
+
+    proc = os.path.join(args.root, "processed")
+    os.makedirs(proc, exist_ok=True)
+
+    all_train = []
+    split_examples = {}
+    for split in ("train", "val", "test"):
+        raw_dir = os.path.join(args.root, "raw", split)
+        recs = sorted(glob(os.path.join(raw_dir, "*.npy")))
+        examples = []
+        for rec_path in recs:
+            examples.extend(
+                extract_sequences(load_recording(rec_path), args.motion_length, args.pose_dims)
+            )
+        split_examples[split] = examples
+        if split == "train":
+            all_train = examples
+        print(f"{split}: {len(recs)} recordings -> {len(examples)} sequences")
+
+    if not all_train:
+        raise SystemExit(f"no training recordings under {args.root}/raw/train")
+    mean, std = compute_mean_std(all_train, args.pose_dims)
+    np.save(os.path.join(proc, "mean.npy"), mean)
+    np.save(os.path.join(proc, "std.npy"), std)
+
+    for split, examples in split_examples.items():
+        if not examples:
+            continue
+        normalize_examples(examples, mean, std, args.pose_dims)
+        packed = pack(examples)
+        scene_dir = os.path.join(args.root, "raw", "scenes")
+        if os.path.isdir(scene_dir):
+            packed = attach_scene(packed, scene_dir, args.scene_points)
+        np.savez(os.path.join(proc, f"{split}.npz"), **packed)
+        print(f"wrote {proc}/{split}.npz:", {k: v.shape for k, v in packed.items()})
+
+
+if __name__ == "__main__":
+    main()
