@@ -64,6 +64,42 @@ def load_smpl_or_synthetic(cfg: Config) -> SmplModel:
     return synthetic_smpl(n_verts=6890)
 
 
+def build_t2m_system(cfg: Config, datamodule):
+    """Text-to-motion system for humanml3d/kit configs."""
+    from ..models.t2m import T2MConfig, T2MSystem
+    from ..models.text_encoder import ClipTextEncoder
+
+    model = cfg.model
+    abl = cfg.TRAIN.ABLATION
+    sched = model.get("scheduler", {})
+    loss = cfg.get("LOSS", {})
+    t2m_cfg = T2MConfig(
+        nfeats=int(getattr(datamodule, "nfeats", model.get("nfeats", 263))),
+        max_len=int(cfg.select("DATASET.SAMPLER.MAX_LEN", 196)),
+        latent_dim=tuple(model.get("latent_dim", [1, 256])),
+        ff_size=int(model.get("ff_size", 128)),
+        num_layers=int(model.get("num_layers", 5)),
+        num_heads=int(model.get("num_head", model.get("num_heads", 1))),
+        dropout=float(model.get("droupout", model.get("dropout", 0.1))),
+        text_encoded_dim=int(
+            cfg.select("model.denoiser.params.text_encoded_dim", 768) or 768
+        ),
+        guidance_scale=float(model.get("guidance_scale", 7.5)),
+        guidance_uncondp=float(model.get("guidance_uncondp", 0.1)),
+        num_inference_timesteps=int(sched.get("num_inference_timesteps", 50)),
+        lambda_kl=float(loss.get("LAMBDA_KL", 1e-4)),
+        lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
+        lambda_joint=float(loss.get("LAMBDA_JOINT", 1.0)),
+    )
+    text_encoder = ClipTextEncoder(
+        cfg.select("model.clip_path", None), latent_dim=t2m_cfg.text_encoded_dim
+    )
+    return T2MSystem(
+        t2m_cfg, feats2joints=getattr(datamodule, "feats2joints", None),
+        text_encoder=text_encoder,
+    ), t2m_cfg
+
+
 def build_system(
     cfg: Config,
     mean: Optional[np.ndarray] = None,

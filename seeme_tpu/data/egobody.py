@@ -42,6 +42,8 @@ class EgoBodyDataModule:
         self._proc = proc
         self._splits: Dict[str, Dict[str, np.ndarray]] = {}
         self._debug = bool(cfg.get("DEBUG", False))
+        self.num_train = self._load("train")["feats"].shape[0] if os.path.exists(
+            os.path.join(proc, "train.npz")) else 0
 
     def _load(self, split: str) -> Dict[str, np.ndarray]:
         if split not in self._splits:

@@ -85,6 +85,7 @@ class HumanML3DDataModule:
             }
             self.mean = self._sets["train"].mean
             self.std = self._sets["train"].std
+            self.num_train = len(self._sets["train"])
         else:
             self.root = root
             self.mean = np.load(os.path.join(root, "Mean.npy"))
@@ -94,6 +95,7 @@ class HumanML3DDataModule:
                 path = os.path.join(root, f"{split}.txt")
                 with codecs.open(path, "r") as f:
                     self._ids[split] = [ln.strip() for ln in f if ln.strip()]
+            self.num_train = len(self._ids["train"])
 
     # -------------------------------------------------------------- sampling
     def _load_real(self, split: str, idx: str):

@@ -50,6 +50,7 @@ class SyntheticDataModule:
         self.test_set = SyntheticEgoDataset(num_eval, seed=2, **common)
         self.mean = self.train_set.mean
         self.std = self.train_set.std
+        self.num_train = len(self.train_set)
         self.nfeats = pose_feats + 3
         self.name = cfg.get("DATASET_NAME", "egobody")
         self.is_synthetic = True
@@ -84,3 +85,21 @@ def get_datamodule(cfg):
     if name not in _REGISTRY:
         raise KeyError(f"unknown dataset {name!r}; registered: {sorted(_REGISTRY)}")
     return _REGISTRY[name](cfg)
+
+
+@register_dataset("humanml3d")
+def _humanml3d(cfg):
+    from .humanml import HumanML3DDataModule
+
+    root = os.path.join(cfg.select("DATASET.ROOT", "./datasets"), "HumanML3D")
+    return HumanML3DDataModule(cfg, root if os.path.isdir(root) else None)
+
+
+@register_dataset("kit")
+def _kit(cfg):
+    from .humanml import KIT_NFEATS, HumanML3DDataModule
+
+    root = os.path.join(cfg.select("DATASET.ROOT", "./datasets"), "KIT-ML")
+    return HumanML3DDataModule(
+        cfg, root if os.path.isdir(root) else None, nfeats=KIT_NFEATS
+    )

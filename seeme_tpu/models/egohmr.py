@@ -310,11 +310,92 @@ class EgoHmr:
         return out
 
     # --------------------------------------------------------------- training
+    def compute_loss(
+        self, batch: Dict, out: Dict,
+        w_v2v=0.5, w_kp3d=0.05, w_kp3d_full=0.02, w_kp2d_full=0.01,
+        w_betas=0.0005, w_body_pose=0.001, w_global_orient=0.001, w_ortho=0.1,
+    ) -> Tuple[jnp.ndarray, Dict]:
+        """Geometric losses on the predicted x0 outputs
+        (`egohmr.py:331-470`): pelvis-aligned/full 3d keypoints, 2d full-image
+        keypoints (openpose topology, joints 1/9/12 ignored), gendered-GT v2v,
+        SMPL parameter MSE, and orthogonality of the diffusion-layout 6d
+        (columns, `egohmr.py:409-412`). The COAP scene-collision term requires
+        the external COAP occupancy network and is out of scope (it is also
+        disabled by default in the reference ctor, `egohmr.py:124-129`)."""
+        from ..core.rotations import aa_to_rotmat
+        from .prohmr import JOINTS_TO_IGN, SMPL_TO_OPENPOSE
+
+        sp = batch["smpl_params"]
+        B = out["pred_pose_6d"].shape[0]
+        pred_k3d = out["pred_keypoints_3d"][:, :24]
+        pred_k3d_full = out["pred_keypoints_3d_full"][:, :24]
+
+        gt_k3d = batch["keypoints_3d"][..., :3]
+        l_kp3d = jnp.mean(
+            jnp.sum(jnp.abs(
+                (pred_k3d - pred_k3d[:, :1]) - (gt_k3d - gt_k3d[:, :1])
+            ), axis=(1, 2))
+        )
+        gt_k3d_full = batch["keypoints_3d_full"][..., :3]
+        l_kp3d_full = jnp.mean(jnp.sum(jnp.abs(pred_k3d_full - gt_k3d_full), axis=(1, 2)))
+
+        # full-image 2d keypoints in openpose topology
+        transl = sp["transl"]
+        if self.cfg.with_focal_length:
+            focal = (batch["fx"] * self.cfg.fx_norm_coeff)[:, None]
+            focal = jnp.broadcast_to(focal, (B, 2))
+            center = jnp.stack([batch["cam_cx"], batch["cam_cy"]], axis=-1)
+        else:
+            focal = jnp.full((B, 2), 5000.0)
+            center = jnp.broadcast_to(jnp.array([960.0, 540.0]), (B, 2))
+        from ..core.rotations import perspective_projection
+
+        k2d = perspective_projection(out["pred_keypoints_3d"], transl, focal, center)
+        k2d = k2d / jnp.array([1920.0, 1080.0]) - 0.5
+        k2d = k2d[:, SMPL_TO_OPENPOSE]
+        gt_k2d = batch["orig_keypoints_2d"]
+        conf = gt_k2d[..., -1:].at[:, JOINTS_TO_IGN].set(0.0)
+        l_kp2d_full = jnp.mean(
+            jnp.sum(conf * jnp.abs(k2d - gt_k2d[..., :2]), axis=(1, 2))
+        )
+
+        gt_out = smpl_forward(self.smpl, sp["betas"], sp["body_pose"], sp["global_orient"])
+        l_v2v = jnp.mean(jnp.abs(
+            (out["pred_vertices"] - pred_k3d[:, :1])
+            - (gt_out["vertices"] - gt_out["joints"][:, :1])
+        ))
+
+        gt_go = aa_to_rotmat(sp["global_orient"]).reshape(B, 1, 3, 3)
+        gt_bp = aa_to_rotmat(sp["body_pose"].reshape(B, 23, 3))
+        psp = out["pred_smpl_params"]
+        l_go = jnp.sum((psp["global_orient"] - gt_go) ** 2) / B
+        l_bp = jnp.sum((psp["body_pose"] - gt_bp) ** 2) / B
+        l_bt = jnp.sum((psp["betas"] - sp["betas"]) ** 2) / B
+
+        p6 = out["pred_pose_6d"].reshape(-1, 3, 2)
+        gram = jnp.einsum("bji,bjk->bik", p6, p6)
+        l_ortho = jnp.mean((gram - jnp.eye(2)) ** 2)
+
+        total = (
+            w_v2v * l_v2v + w_kp3d * l_kp3d + w_kp3d_full * l_kp3d_full
+            + w_kp2d_full * l_kp2d_full + w_betas * l_bt
+            + w_body_pose * l_bp + w_global_orient * l_go + w_ortho * l_ortho
+        )
+        return total, {
+            "loss_v2v": l_v2v, "loss_keypoints_3d": l_kp3d,
+            "loss_keypoints_3d_full": l_kp3d_full,
+            "loss_keypoints_2d_full": l_kp2d_full, "loss_betas": l_bt,
+            "loss_body_pose": l_bp, "loss_global_orient": l_go,
+            "loss_pose_6d_ortho": l_ortho,
+        }
+
     def training_loss(
-        self, params: Dict, batch: Dict, rng: jax.Array
+        self, params: Dict, batch: Dict, rng: jax.Array,
+        with_geometric: bool = True,
     ) -> Tuple[jnp.ndarray, Dict]:
         """x0-prediction MSE in normalized rot6d space
-        (`EgoHMR/diffusion/gaussian_diffusion.py:721` training_losses)."""
+        (`EgoHMR/diffusion/gaussian_diffusion.py:721` training_losses) plus
+        the geometric losses on the predicted outputs (`train_egohmr.py`)."""
         B = batch["img"].shape[0]
         x0 = batch["body_rep"]  # (B, 144) normalized diffusion-6d GT pose
         t_rng, n_rng, m_rng = jax.random.split(rng, 3)
@@ -323,7 +404,14 @@ class EgoHmr:
         x_t = self.schedule.add_noise(x0, noise, t)
         out = self.forward(params, batch, x_t, t, rng=m_rng, train=True)
         mse = jnp.mean((out["pred_x_start"] - x0) ** 2)
-        return mse, {"diffusion_mse": mse, **{"total": mse}}
+        terms = {"diffusion_mse": mse}
+        total = mse
+        if with_geometric and "keypoints_3d" in batch:
+            geo, geo_terms = self.compute_loss(batch, out)
+            total = total + geo
+            terms.update(geo_terms)
+        terms["total"] = total
+        return total, terms
 
     # --------------------------------------------------------------- sampling
     def sample(

@@ -72,11 +72,16 @@ class SeeMeConfig:
     @property
     def pose_feats(self) -> int:
         """72 angle dims for the 23-joint egobody layout, 66 for gimo's
-        21-joint layout (`mld.py:119-123`)."""
+        21-joint layout (`mld.py:119-123`); 144 for the rot6d representation
+        (24 joints x diffusion-layout 6d, `mld.py:100`)."""
+        if self.data_type == "rot6d":
+            return 144
         return 72 if self.dataset_name == "egobody" else 66
 
     @property
     def nfeats(self) -> int:
+        if self.data_type == "rot6d":
+            return 144  # rot6d path carries no translation (`mld.py:703-742`)
         return self.pose_feats + (3 if self.predict_transl else 0)
 
     @property
@@ -148,7 +153,8 @@ class SeeMeSystem:
                 r2,
                 jnp.zeros((1, cfg.latent_dim[0], d)),
                 jnp.zeros((1,), jnp.int32),
-                jnp.zeros((1, self.n_cond_tokens, d)),
+                # unconditional configs still trace with one (zero) token
+                jnp.zeros((1, max(self.n_cond_tokens, 1), d)),
             ),
         }
         if self.use_scene:
@@ -175,9 +181,10 @@ class SeeMeSystem:
 
     def actor_features(self, batch: Dict, actor: int) -> jnp.ndarray:
         """(B, T, nfeats) normalized features of one actor: pose feats,
-        plus transl when predict_transl (`mld.py:654-675`)."""
+        plus transl when predict_transl (`mld.py:654-675`); rot6d features
+        carry no translation (`mld.py:703-711`)."""
         f = batch["feats"][:, :, actor, :]
-        if self.cfg.predict_transl:
+        if self.cfg.predict_transl and self.cfg.data_type != "rot6d":
             f = jnp.concatenate([f, batch["transl"][:, actor]], axis=-1)
         return f
 
@@ -192,6 +199,22 @@ class SeeMeSystem:
         """
         cfg = self.cfg
         B, T, _ = feats_raw.shape
+        if cfg.data_type == "rot6d":
+            # diffusion-layout 6d -> rotmats -> FK, no betas/transl
+            # (`mld.py:703-742`: smpl called with pose2rot=False, default betas)
+            from ..core.rotations import rot6d_to_rotmat
+
+            rotmats = rot6d_to_rotmat(
+                feats_raw.reshape(B * T, 24, 6), mode="diffusion"
+            )
+            joints = smpl_joints24(
+                self.smpl,
+                jnp.zeros((B * T, 10), feats_raw.dtype),
+                rotmats[:, 1:],
+                rotmats[:, :1],
+                pose2rot=False,
+            )
+            return joints.reshape(B, T, 24, 3)
         pose = feats_raw[..., 3 : cfg.pose_feats].reshape(B * T, -1)
         if cfg.dataset_name == "gimo":
             pose = jnp.concatenate([pose, jnp.zeros((B * T, 6), pose.dtype)], axis=-1)

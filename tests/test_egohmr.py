@@ -28,7 +28,14 @@ def make_batch(B=2, n_pts=32, seed=0):
         "box_center": jnp.asarray(rng.rand(B, 2).astype(np.float32) * 500),
         "box_size": jnp.full((B,), 200.0),
         "orig_keypoints_2d": jnp.asarray(kp2d),
-        "smpl_params": {"transl": jnp.asarray(rng.randn(B, 3).astype(np.float32))},
+        "keypoints_3d": jnp.asarray(rng.randn(B, 24, 4).astype(np.float32)),
+        "keypoints_3d_full": jnp.asarray(rng.randn(B, 24, 4).astype(np.float32)),
+        "smpl_params": {
+            "transl": jnp.asarray(rng.randn(B, 3).astype(np.float32)),
+            "betas": jnp.asarray(rng.randn(B, 10).astype(np.float32) * 0.5),
+            "body_pose": jnp.asarray(rng.randn(B, 69).astype(np.float32) * 0.3),
+            "global_orient": jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.3),
+        },
         "body_rep": jnp.asarray(rng.randn(B, 144).astype(np.float32)),
     }
 
@@ -132,3 +139,20 @@ class TestSampling:
             R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape), atol=1e-3
         )
         assert np.isfinite(np.asarray(out["pred_vertices"])).all()
+
+
+class TestGeometricLoss:
+    def test_full_loss_terms(self, model):
+        m, params = model
+        batch = make_batch()
+        loss, terms = m.training_loss(params, batch, jax.random.PRNGKey(9))
+        for k in ("diffusion_mse", "loss_v2v", "loss_keypoints_3d",
+                  "loss_keypoints_2d_full", "loss_pose_6d_ortho", "total"):
+            assert k in terms and np.isfinite(float(terms[k])), k
+
+    def test_grads_through_geometric(self, model):
+        m, params = model
+        batch = make_batch()
+        g = jax.grad(lambda p: m.training_loss(p, batch, jax.random.PRNGKey(9))[0])(params)
+        gm = max(float(jnp.abs(x).max()) for x in jax.tree.leaves(g["gcn"]))
+        assert gm > 0

@@ -100,3 +100,28 @@ class TestDenoiser:
         # padded frames zeroed (`mld_denoiser.py:218-220`)
         assert float(jnp.abs(out[0, 30:]).max()) == 0.0
         assert float(jnp.abs(out[0, :30]).max()) > 0.0
+
+
+class TestRot6dPath:
+    def test_vae_loss_rot6d(self):
+        import numpy as np
+        from seeme_tpu.core import synthetic_smpl
+        from seeme_tpu.models.seeme import SeeMeConfig, SeeMeSystem
+
+        cfg = SeeMeConfig(data_type="rot6d", motion_length=8, condition=())
+        assert cfg.nfeats == 144
+        smpl = synthetic_smpl(n_verts=64)
+        mean = np.zeros(144, np.float32)
+        std = np.ones(144, np.float32)
+        system = SeeMeSystem(cfg, smpl, mean, std)
+        params = system.init_params(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "feats": jnp.asarray(rng.randn(2, 8, 2, 144).astype(np.float32) * 0.3),
+            "transl": jnp.zeros((2, 2, 8, 3)),
+            "betas": jnp.zeros((2, 2, 8, 10)),
+            "length": jnp.full((2,), 8),
+        }
+        loss, terms = system.vae_loss(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert "recons_joints" in terms

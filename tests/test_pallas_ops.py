@@ -45,3 +45,24 @@ class TestFusedPointnet:
         assert pointnet_pallas._pick_tile(20480) == 512
         assert pointnet_pallas._pick_tile(1024) == 512
         assert pointnet_pallas._pick_tile(128) == 128
+
+
+class TestGradients:
+    def test_custom_vjp_matches_flax_grad(self):
+        import jax
+
+        pn = ResnetPointnet(out_dim=32, hidden_dim=32)
+        params = pn.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 3)))
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 3).astype(np.float32))
+
+        ref_grads = jax.grad(lambda p: pn.apply(p, x).sum())(params)
+        our_grads = jax.grad(
+            lambda p: _interpreted(pointnet_pallas.pointnet_forward_pallas, p, x).sum()
+        )(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            ),
+            ref_grads,
+            our_grads,
+        )

@@ -69,7 +69,13 @@ def main():
     if getattr(datamodule, "is_synthetic", False):
         logger.info("dataset release not found -> synthetic datamodule")
 
-    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+    is_t2m = cfg.get("DATASET_NAME") in ("humanml3d", "kit")
+    if is_t2m:
+        from seeme_tpu.config.build import build_t2m_system
+
+        system, sys_cfg = build_t2m_system(cfg, datamodule)
+    else:
+        system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
     params = system.init_params(jax.random.PRNGKey(seed))
 
     pretrained_vae = str(cfg.select("TRAIN.PRETRAINED_VAE", "") or "")
@@ -79,7 +85,9 @@ def main():
 
     batch_size = int(cfg.TRAIN.BATCH_SIZE)
     end_epoch = int(cfg.TRAIN.END_EPOCH)
-    n_train = len(datamodule.train_set) if hasattr(datamodule, "train_set") else batch_size
+    n_train = getattr(datamodule, "num_train", None) or (
+        len(datamodule.train_set) if hasattr(datamodule, "train_set") else batch_size
+    )
     steps_per_epoch = max(n_train // batch_size, 1)
 
     optimizer = make_optimizer(
@@ -113,14 +121,18 @@ def main():
     ckpt_every = int(cfg.select("LOGGER.SACE_CHECKPOINT_EPOCH", 200))
     log_every = max(int(cfg.select("LOGGER.LOG_EVERY_STEPS", 1)), 1)
 
+    def data_iter(epoch):
+        for b in datamodule.batches("train", batch_size, seed=seed + epoch):
+            if is_t2m:
+                texts = b.pop("text", None)
+                # host-side caption embedding (frozen CLIP / fallback)
+                if "text_emb" not in b and texts is not None:
+                    b["text_emb"] = system.text_encoder(texts)
+            yield b
+
     t_start = time.perf_counter()
     for epoch in range(start_epoch, end_epoch):
-        state, means = run_epoch(
-            train_step,
-            state,
-            datamodule.batches("train", batch_size, seed=seed + epoch),
-            mesh=mesh,
-        )
+        state, means = run_epoch(train_step, state, data_iter(epoch), mesh=mesh)
         if epoch % log_every == 0:
             msg = " ".join(f"{k}={v:.5f}" for k, v in sorted(means.items()))
             logger.info("epoch %d/%d %s", epoch, end_epoch, msg)
