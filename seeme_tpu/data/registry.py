@@ -37,13 +37,16 @@ class SyntheticDataModule:
     def __init__(self, cfg, num_train=256, num_eval=64):
         pose_feats = 72 if cfg.get("DATASET_NAME", "egobody") == "egobody" else 66
         T = int(cfg.get("MOTION_LENGTH", 60))
-        with_scene = "scene" in tuple(cfg.select("model.condition", []) or [])
+        cond = tuple(cfg.select("model.condition", []) or [])
+        with_scene = "scene" in cond
+        with_image = "image" in cond
         pts = int(cfg.select("model.scene_points", 1024)) if with_scene else 0
         if cfg.get("DEBUG", False):
             num_train, num_eval = 32, 16
         common = dict(
             motion_length=T, pose_feats=pose_feats,
             scene_points=max(pts, 1), with_scene=with_scene,
+            with_image=with_image,
         )
         self.train_set = SyntheticEgoDataset(num_train, seed=0, **common)
         self.val_set = SyntheticEgoDataset(num_eval, seed=1, **common)

@@ -24,6 +24,8 @@ class SyntheticEgoDataset:
         pose_feats: int = 72,
         scene_points: int = 1024,
         with_scene: bool = True,
+        with_image: bool = False,
+        image_size: int = 224,
         seed: int = 0,
     ):
         self.num_samples = num_samples
@@ -31,6 +33,7 @@ class SyntheticEgoDataset:
         self.pose_feats = pose_feats
         self.scene_points = scene_points
         self.with_scene = with_scene
+        self.with_image = with_image
         rng = np.random.RandomState(seed)
         T, P = motion_length, pose_feats
 
@@ -54,6 +57,8 @@ class SyntheticEgoDataset:
         self.cam = np.abs(rng.randn(num_samples, T, 6).astype(np.float32))
         if with_scene:
             self.scene = rng.randn(num_samples, scene_points, 3).astype(np.float32)
+        if with_image:
+            self.image = rng.rand(num_samples, image_size, image_size, 3).astype(np.float32)
         self.length = np.full((num_samples,), T, np.int32)
 
         # normalization stats over the (pose + transl) feature vector,
@@ -77,6 +82,8 @@ class SyntheticEgoDataset:
         }
         if self.with_scene:
             out["scene"] = self.scene[idx]
+        if self.with_image:
+            out["image"] = self.image[idx]
         return out
 
     def batches(
@@ -97,4 +104,6 @@ class SyntheticEgoDataset:
             }
             if self.with_scene:
                 batch["scene"] = self.scene[sel]
+            if self.with_image:
+                batch["image"] = self.image[sel]
             yield batch

@@ -137,9 +137,17 @@ class SeeMeSystem:
         self.schedule = DiffusionSchedule()
         self.use_scene = "scene" in cfg.condition
         self.use_interactee = "interactee" in cfg.condition
+        self.use_image = "image" in cfg.condition
         if self.use_scene:
             self.scene_encoder = ResnetPointnet(out_dim=cfg.scene_feat_dim)
             self.output_scene = ConditionProjection(d)
+        if self.use_image:
+            # frozen ResNet50 image encoder + trainable projection
+            # (`mld.py:182-208, 251-255, 893-896`)
+            from ..nn.resnet import resnet50
+
+            self.image_encoder = resnet50()
+            self.output_images = ConditionProjection(d)
 
     # ------------------------------------------------------------------ setup
     def init_params(self, rng: jax.Array) -> Dict:
@@ -164,11 +172,19 @@ class SeeMeSystem:
             params["output_scene"] = self.output_scene.init(
                 r4, jnp.zeros((1, cfg.scene_feat_dim))
             )
+        if self.use_image:
+            ri1, ri2 = jax.random.split(jax.random.fold_in(rng, 5))
+            params["image_encoder"] = self.image_encoder.init(
+                ri1, jnp.zeros((1, 224, 224, 3)), train=False
+            )
+            params["output_images"] = self.output_images.init(
+                ri2, jnp.zeros((1, 2048))
+            )
         return params
 
     @property
     def n_cond_tokens(self) -> int:
-        return int(self.use_interactee) + int(self.use_scene)
+        return int(self.use_interactee) + int(self.use_scene) + int(self.use_image)
 
     # ------------------------------------------------------------- primitives
     def renorm(self, feats: jnp.ndarray) -> jnp.ndarray:
@@ -304,6 +320,13 @@ class SeeMeSystem:
                 mask = jax.random.uniform(mask_rng, scene.shape) < cfg.guidance_uncondp
                 scene = jnp.where(mask, 0.0, scene)
             tokens.append(self.encode_scene(params, scene))
+        if self.use_image:
+            feats = self.image_encoder.apply(
+                params["image_encoder"], batch["image"], train=False
+            )
+            tokens.append(
+                self.output_images.apply(params["output_images"], feats)[:, None, :]
+            )
         return jnp.concatenate(tokens, axis=1)
 
     def diffusion_loss(self, params: Dict, batch: Dict, rng: jax.Array):
@@ -356,6 +379,8 @@ class SeeMeSystem:
             uncond_batch["transl"] = jnp.zeros_like(batch["transl"])
             if self.use_scene:
                 uncond_batch["scene"] = jnp.zeros_like(batch["scene"])
+            if self.use_image:
+                uncond_batch["image"] = jnp.zeros_like(batch["image"])
             uncond = self._condition_tokens(params, uncond_batch, None, train=False)
             cond_full = jnp.concatenate([uncond, cond], axis=0)  # [uncond; cond]
         else:

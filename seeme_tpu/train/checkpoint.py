@@ -72,16 +72,20 @@ def save_params(path: str, params: Dict) -> None:
 
 def restore_params(path: str, template: Dict) -> Dict:
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(_abs(path), args=ocp.args.StandardRestore(_host(template)))
+    restored = ckptr.restore(_abs(path), _host(template))
     return jax.tree.map(jax.numpy.asarray, restored)
 
 
 def load_pretrained_vae(path: str, params: Dict) -> Dict:
     """Graft the `vae` subtree of a stage-1 params checkpoint into `params`
-    (the PRETRAINED_VAE load, `train.py:155-167`)."""
-    donor = restore_params(path, {"vae": params["vae"]})
+    (the PRETRAINED_VAE load, `train.py:155-167`). Restores without a
+    template (the donor checkpoint may hold more subtrees than the target)."""
+    ckptr = ocp.StandardCheckpointer()
+    donor = ckptr.restore(_abs(path))
+    if "vae" not in donor:
+        raise KeyError(f"checkpoint {path} has no 'vae' subtree: {list(donor)}")
     out = dict(params)
-    out["vae"] = donor["vae"]
+    out["vae"] = jax.tree.map(jax.numpy.asarray, donor["vae"])
     return out
 
 

@@ -18,7 +18,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--scene_points", type=int, default=1024)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp

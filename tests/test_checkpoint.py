@@ -1,0 +1,61 @@
+"""Checkpoint save/restore roundtrips (orbax)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seeme_tpu.train.checkpoint import (
+    load_pretrained_vae,
+    make_manager,
+    restore_params,
+    restore_state,
+    resume_scan,
+    save_params,
+    save_state,
+)
+from seeme_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+
+def make_params(seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "vae": {"w": jnp.asarray(rng.randn(4, 4).astype(np.float32))},
+        "denoiser": {"w": jnp.asarray(rng.randn(3, 3).astype(np.float32))},
+    }
+
+
+def test_params_roundtrip(tmp_path):
+    params = make_params()
+    save_params(str(tmp_path / "p"), params)
+    restored = restore_params(str(tmp_path / "p"), make_params(seed=1))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+
+
+def test_pretrained_vae_graft(tmp_path):
+    """Stage-2 grafts only the vae subtree (`train.py:155-167`)."""
+    donor = make_params(seed=0)
+    save_params(str(tmp_path / "s1"), donor)
+    target = make_params(seed=1)
+    out = load_pretrained_vae(str(tmp_path / "s1"), target)
+    np.testing.assert_array_equal(np.asarray(out["vae"]["w"]), np.asarray(donor["vae"]["w"]))
+    np.testing.assert_array_equal(np.asarray(out["denoiser"]["w"]), np.asarray(target["denoiser"]["w"]))
+
+
+def test_state_roundtrip_and_resume_scan(tmp_path):
+    params = make_params()
+    opt = make_optimizer("vae", params)
+    state = create_train_state(params, opt, jax.random.PRNGKey(0))
+    state = state.replace(step=jnp.asarray(42))
+    mgr = make_manager(str(tmp_path))
+    save_state(mgr, state, 42)
+    template = create_train_state(make_params(seed=1), opt, jax.random.PRNGKey(1))
+    restored, step = restore_state(make_manager(str(tmp_path)), template)
+    assert step == 42
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["vae"]["w"]), np.asarray(params["vae"]["w"])
+    )
+    cfg_path, latest = resume_scan(str(tmp_path))
+    assert latest == 42

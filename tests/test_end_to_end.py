@@ -132,3 +132,21 @@ def test_sharded_vae_step_8_devices(setup):
     batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in next(data.batches(8)).items()})
     state, terms = step(state, batch)
     assert np.isfinite(float(terms["total"]))
+
+
+def test_image_conditioning_path():
+    """condition ['interactee','scene','image'] — the full SEE-ME surface."""
+    cfg = SeeMeConfig(motion_length=8, scene_points=64,
+                      condition=("interactee", "scene", "image"),
+                      num_inference_timesteps=3)
+    smpl = synthetic_smpl(n_verts=64)
+    data = SyntheticEgoDataset(num_samples=4, motion_length=8, scene_points=64,
+                               with_image=True, image_size=64, seed=0)
+    system = SeeMeSystem(cfg, smpl, data.mean, data.std)
+    assert system.n_cond_tokens == 3
+    params = system.init_params(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in next(data.batches(4)).items()}
+    loss, terms = system.diffusion_loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = system.sample(params, batch, jax.random.PRNGKey(2))
+    assert out.shape == (4, 8, cfg.nfeats)

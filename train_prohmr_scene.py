@@ -26,7 +26,14 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="small flow/smpl for smoke runs (remote compile of the "
                          "full-size G-step graph takes ~15min on the axon tunnel)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU backend (conv-heavy graphs "
+                         "remote-compile very slowly through the axon tunnel)")
     args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
