@@ -148,3 +148,32 @@ def test_replication_statistics():
     assert stats["MPJPE"]["min"] == 100.0 and stats["MPJPE"]["max"] == 110.0
     expected_ci = 1.96 * np.std([100, 110]) / np.sqrt(2)
     np.testing.assert_allclose(stats["MPJPE"]["conf_interval"], expected_ci, rtol=1e-6)
+
+
+class TestActionMetrics:
+    def test_action_metrics(self):
+        from seeme_tpu.eval.action_metrics import ActionMetrics
+
+        rng = np.random.RandomState(0)
+        n, C, D = 40, 5, 16
+        labels = rng.randint(0, C, n)
+        feats = rng.randn(n, D).astype(np.float32) + labels[:, None]
+        logits = np.eye(C)[labels] * 10.0  # perfect classifier
+        m = ActionMetrics(num_classes=C)
+        m.update(feats, feats, logits, labels)
+        res = m.compute()
+        assert res["accuracy"] == 1.0
+        assert res["FID"] < 1e-6
+        assert res["Diversity"] > 0 and "MultiModality" in res
+
+    def test_uncond_metrics(self):
+        from seeme_tpu.eval.action_metrics import UncondMetrics
+
+        rng = np.random.RandomState(1)
+        gt = rng.randn(64, 8)
+        gen_close = gt + rng.randn(64, 8) * 0.01
+        gen_far = gt + 5.0
+        m1, m2 = UncondMetrics(), UncondMetrics()
+        m1.update(gen_close, gt)
+        m2.update(gen_far, gt)
+        assert m1.compute()["FID"] < m2.compute()["FID"]
