@@ -59,6 +59,8 @@ class SyntheticDataModule:
         self.is_synthetic = True
 
     def batches(self, split: str, batch_size: int, shuffle=None, seed: int = 0):
+        if split == "val" and self.name == "gimo":
+            split = "test"  # GIMO aliases val to test (`dataset.py:1840-1842`)
         ds = getattr(self, f"{split}_set")
         if shuffle is None:
             shuffle = split == "train"

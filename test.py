@@ -84,12 +84,15 @@ def main():
         static_argnames=(),
     )
 
+    save_preds = bool(cfg.select("TEST.SAVE_PREDICTIONS", False))
     all_metrics = []
     times = []
     for rep in range(reps):
         metric = EgoMetric(split=str(cfg.select("TEST.SPLIT", "test")))
         rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
-        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+        for batch_idx, batch_np in enumerate(
+            datamodule.batches("test", batch_size, shuffle=False)
+        ):
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter()
@@ -102,6 +105,18 @@ def main():
                 out["joints_rst"], out["joints_ref"],
                 out["quat_rst"], out["quat_ref"], mask,
             )
+            if save_preds and rep == 0:
+                # the save_npy contract (`modeltype/base.py:215-256`): one npy
+                # per sequence, predictions and ground truth side by side
+                pred_dir = os.path.join(exp_dir, "predictions")
+                os.makedirs(pred_dir, exist_ok=True)
+                j_rst = np.asarray(out["joints_rst"])
+                j_ref = np.asarray(out["joints_ref"])
+                for b in range(len(j_rst)):
+                    i = batch_idx * batch_size + b
+                    L = int(batch_np["length"][b])
+                    np.save(os.path.join(pred_dir, f"pred_{i}.npy"), j_rst[b, :L])
+                    np.save(os.path.join(pred_dir, f"gt_{i}.npy"), j_ref[b, :L])
         results = metric.compute()
         all_metrics.append(results)
         logger.info("replication %d: %s", rep,
