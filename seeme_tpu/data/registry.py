@@ -108,3 +108,60 @@ def _kit(cfg):
     return HumanML3DDataModule(
         cfg, root if os.path.isdir(root) else None, nfeats=KIT_NFEATS
     )
+
+
+class SyntheticA2MDataModule:
+    """HumanAct12/UESTC-shaped action-to-motion data (synthetic fallback for
+    the `mld/data/a2m/` loaders; real loaders need the action releases)."""
+
+    def __init__(self, cfg, num_classes=12, nfeats=150, num_frames=60):
+        rng = np.random.RandomState(0)
+        if cfg.get("DEBUG", False):
+            n = 48
+        else:
+            n = 240
+        self.nfeats = nfeats
+        self.num_classes = num_classes
+        self.num_train = n
+        self.is_synthetic = True
+        self.name = cfg.get("DATASET_NAME", "humanact12")
+        self.mean = np.zeros(nfeats, np.float32)
+        self.std = np.ones(nfeats, np.float32)
+
+        def make(n_samples, seed):
+            r = np.random.RandomState(seed)
+            labels = r.randint(0, num_classes, n_samples)
+            base = r.randn(num_classes, 1, nfeats).astype(np.float32)
+            motion = np.cumsum(
+                r.randn(n_samples, num_frames, nfeats).astype(np.float32) * 0.02,
+                axis=1,
+            ) + base[labels]
+            return {
+                "motion": motion,
+                "action": labels.astype(np.int32),
+                "length": np.full(n_samples, num_frames, np.int32),
+            }
+
+        self._splits = {"train": make(n, 0), "val": make(n // 4, 1), "test": make(n // 4, 2)}
+
+    def batches(self, split, batch_size, shuffle=None, seed=0):
+        data = self._splits[split]
+        n = len(data["motion"])
+        idx = np.arange(n)
+        if shuffle is None:
+            shuffle = split == "train"
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        for i in range(0, (n // batch_size) * batch_size, batch_size):
+            sel = idx[i : i + batch_size]
+            yield {k: v[sel] for k, v in data.items()}
+
+
+@register_dataset("humanact12")
+def _humanact12(cfg):
+    return SyntheticA2MDataModule(cfg, num_classes=12, nfeats=150)
+
+
+@register_dataset("uestc")
+def _uestc(cfg):
+    return SyntheticA2MDataModule(cfg, num_classes=40, nfeats=150)

@@ -50,3 +50,28 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-sharded."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (multi-slice) initialization.
+
+    The reference's multi-node story is Lightning DDP env plumbing; here a
+    single `jax.distributed.initialize` call before mesh construction makes
+    `jax.devices()` span all hosts — DCN handles inter-slice traffic, ICI
+    intra-slice, with no further code changes (SURVEY.md §2.4). On TPU pods
+    the arguments are auto-detected from the environment; pass them only for
+    CPU/GPU clusters."""
+    import jax
+
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

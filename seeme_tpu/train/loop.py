@@ -85,14 +85,13 @@ def run_epoch(
     log_fn: Optional[Callable[[int, Dict, float], None]] = None,
 ) -> Tuple[TrainState, Dict]:
     """One pass over the data; returns final state and mean metrics."""
+    from ..data.prefetch import prefetch_to_device
+
     acc: Dict[str, float] = {}
     count = 0
     t0 = time.perf_counter()
-    for batch in batches:
-        if mesh is not None:
-            batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
-        else:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    for batch in prefetch_to_device(batches, size=2, sharding=sharding):
         state, terms = train_step(state, batch)
         count += 1
         for k, v in terms.items():
