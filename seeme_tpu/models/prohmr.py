@@ -140,9 +140,15 @@ class ProHMRScene:
 
     def __init__(self, cfg: ProHMRConfig, smpl: SmplModel,
                  mean_betas: Optional[np.ndarray] = None,
-                 mean_cam: Optional[np.ndarray] = None):
+                 mean_cam: Optional[np.ndarray] = None,
+                 smpl_male: Optional[SmplModel] = None,
+                 smpl_female: Optional[SmplModel] = None):
         self.cfg = cfg
         self.smpl = smpl
+        # gendered models for the GT v2v term (`prohmr_scene.py:64-66,
+        # 282-289`); fall back to neutral when the assets are absent
+        self.smpl_male = smpl_male or smpl
+        self.smpl_female = smpl_female or smpl
         self.backbone = resnet50()
         self.scene_enc = ResnetPointnet(out_dim=cfg.scene_feat_dim, hidden_dim=256)
         self.fc_head = FCHead(cfg.fc_head_features)
@@ -354,11 +360,23 @@ class ProHMRScene:
         l_3d = kp3d_loss(k3d, rep(batch["keypoints_3d"]), True)
         l_3d_full = kp3d_loss(k3d_full, rep(batch["keypoints_3d_full"]), False)
 
-        # v2v against gendered GT SMPL (`:281-301`); gender select
+        # v2v against gendered GT SMPL (`:281-301`): run male + female models
+        # and select per sample (gender 1 = female)
         gt_sp = batch["smpl_params"]
-        gt_out = smpl_forward(
-            self.smpl, gt_sp["betas"], gt_sp["body_pose"], gt_sp["global_orient"]
+        gt_m = smpl_forward(
+            self.smpl_male, gt_sp["betas"], gt_sp["body_pose"], gt_sp["global_orient"]
         )
+        if self.smpl_female is not self.smpl_male and "gender" in batch:
+            gt_f = smpl_forward(
+                self.smpl_female, gt_sp["betas"], gt_sp["body_pose"], gt_sp["global_orient"]
+            )
+            is_f = (batch["gender"] == 1)[:, None, None]
+            gt_out = {
+                "vertices": jnp.where(is_f, gt_f["vertices"], gt_m["vertices"]),
+                "joints": jnp.where(is_f, gt_f["joints"], gt_m["joints"]),
+            }
+        else:
+            gt_out = gt_m
         gt_vertices = gt_out["vertices"]
         gt_pelvis = gt_out["joints"][:, :1]
         pred_pelvis = output["pred_keypoints_3d"][:, :, :1]

@@ -433,8 +433,14 @@ class SeeMeSystem:
         joints_ref = self.feats_to_joints(raw_ref, betas, transl)
         joints_int = self.feats_to_joints(raw_int, betas_int, transl_int)
 
-        quat_rst = aa_to_quat(raw_rst[..., :3])
-        quat_ref = aa_to_quat(raw_ref[..., :3])
+        if cfg.data_type == "rot6d":
+            from ..core.rotations import rot6d_to_rotmat, rotmat_to_quat
+
+            quat_rst = rotmat_to_quat(rot6d_to_rotmat(raw_rst[..., :6], "diffusion"))
+            quat_ref = rotmat_to_quat(rot6d_to_rotmat(raw_ref[..., :6], "diffusion"))
+        else:
+            quat_rst = aa_to_quat(raw_rst[..., :3])
+            quat_ref = aa_to_quat(raw_ref[..., :3])
         return {
             "feats_rst": feats_rst,
             "joints_rst": joints_rst,

@@ -150,3 +150,27 @@ def test_image_conditioning_path():
     assert np.isfinite(float(loss))
     out = system.sample(params, batch, jax.random.PRNGKey(2))
     assert out.shape == (4, 8, cfg.nfeats)
+
+
+def test_tensor_parallel_shardings():
+    """(4, 2) dp x tp mesh: large kernels column-sharded over 'model',
+    the forward/loss still computes correctly with XLA-inserted collectives."""
+    from seeme_tpu.parallel import infer_param_shardings, shard_params
+
+    cfg = SeeMeConfig(motion_length=8, scene_points=64, ff_size=512)
+    smpl = synthetic_smpl(n_verts=64)
+    data = SyntheticEgoDataset(num_samples=8, motion_length=8, scene_points=64, seed=0)
+    system = SeeMeSystem(cfg, smpl, data.mean, data.std)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(data_axis=4, model_axis=2)
+    shardings = infer_param_shardings(params, mesh)
+    specs = {s.spec for s in jax.tree.leaves(shardings)}
+    assert any(spec != () and spec is not None and len(spec) and spec[-1] == "model"
+               for spec in specs if spec), specs  # something actually TP-sharded
+
+    sharded = shard_params(params, mesh)
+    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in next(data.batches(8)).items()})
+    loss_tp, _ = jax.jit(system.diffusion_loss)(sharded, batch, jax.random.PRNGKey(1))
+    loss_rep, _ = jax.jit(system.diffusion_loss)(params, {k: jnp.asarray(v) for k, v in next(data.batches(8)).items()}, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=1e-4)

@@ -130,6 +130,28 @@ def main():
                     b["text_emb"] = system.text_encoder(texts)
             yield b
 
+    # validation: loss on the EVAL split every VAL_EVERY_STEPS epochs
+    # (the reference's check_val_every_n_epoch, `train.py:139-141`)
+    val_every = max(int(cfg.select("LOGGER.VAL_EVERY_STEPS", 200)), 1)
+    loss_fn = system.vae_loss if stage == "vae" else system.diffusion_loss
+    val_step = jax.jit(lambda p, b, r: loss_fn(p, b, r)[1])
+
+    def validate(state):
+        acc, n = {}, 0
+        rng = jax.random.PRNGKey(0)
+        for b in datamodule.batches("val", batch_size, shuffle=False):
+            if is_t2m:
+                texts = b.pop("text", None)
+                if "text_emb" not in b and texts is not None:
+                    b["text_emb"] = system.text_encoder(texts)
+            batch = {k: jax.numpy.asarray(v) for k, v in b.items()}
+            rng, r = jax.random.split(rng)
+            terms = val_step(state.params, batch, r)
+            for k, v in terms.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
     t_start = time.perf_counter()
     for epoch in range(start_epoch, end_epoch):
         state, means = run_epoch(train_step, state, data_iter(epoch), mesh=mesh)
@@ -137,6 +159,13 @@ def main():
             msg = " ".join(f"{k}={v:.5f}" for k, v in sorted(means.items()))
             logger.info("epoch %d/%d %s", epoch, end_epoch, msg)
             tb.scalars(int(state.step), means, prefix=f"{stage}/")
+        if (epoch + 1) % val_every == 0:
+            val_means = validate(state)
+            logger.info(
+                "val epoch %d %s", epoch,
+                " ".join(f"{k}={v:.5f}" for k, v in sorted(val_means.items())),
+            )
+            tb.scalars(int(state.step), val_means, prefix="val/")
         if (epoch + 1) % ckpt_every == 0 or epoch + 1 == end_epoch:
             save_state(manager, state, int(state.step))
             logger.info("checkpoint @ step %d", int(state.step))
