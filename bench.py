@@ -52,20 +52,24 @@ def main():
         params, batch["scene"]
     )
 
+    from seeme_tpu.ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
+
+    tsa, acp_t, acp_prev = ddim_schedule_arrays(
+        system.schedule, cfg.num_inference_timesteps
+    )
+
     def sample_window(params, feats, transl, scene_tok, rng):
         f_int = jnp.concatenate([feats[:, :, 1, :], transl[:, 1]], axis=-1)
         z_cond, _ = system.encode_motion_latent(params["vae"], f_int)
         cond = jnp.concatenate([z_cond, scene_tok], axis=1)
-
-        def denoiser_fn(x, t, step_rng):
-            return system.denoiser.apply(params["denoiser"], x, t, cond)
-
-        from seeme_tpu.diffusion import ddim_sample
-
-        z = ddim_sample(
-            denoiser_fn, system.schedule, rng,
-            (feats.shape[0], cfg.latent_dim[0], cfg.latent_dim[-1]),
-            num_inference_steps=cfg.num_inference_timesteps,
+        rng, init_rng = jax.random.split(rng)
+        z0 = jax.random.normal(
+            init_rng, (feats.shape[0], cfg.latent_dim[0], cfg.latent_dim[-1])
+        )
+        # the fused VMEM-resident reverse-process kernel (ops/denoiser_fused)
+        z = ddim_fused(
+            params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
+            num_steps=cfg.num_inference_timesteps,
         )
         return system.vae.apply(
             params["vae"], z, cfg.motion_length, method=system.vae.decode

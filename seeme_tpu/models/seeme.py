@@ -386,18 +386,42 @@ class SeeMeSystem:
         else:
             cond_full = cond
 
-        def denoiser_fn(x, t, step_rng):
-            return self.denoiser.apply(params["denoiser"], x, t, cond_full)
+        shape = (B, cfg.latent_dim[0], cfg.latent_dim[-1])
+        if (
+            jax.default_backend() != "cpu"
+            and cfg.guidance_scale <= 1.0
+            and cfg.eta == 0.0
+            and cfg.md_trans
+            and cfg.predict_epsilon
+        ):
+            # whole reverse process as one VMEM-resident Pallas kernel
+            # (ops/denoiser_fused.py): ~3x faster than the XLA scan
+            from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
 
-        z = ddim_sample(
-            denoiser_fn,
-            self.schedule,
-            rng,
-            (B, cfg.latent_dim[0], cfg.latent_dim[-1]),
-            num_inference_steps=cfg.num_inference_timesteps,
-            eta=cfg.eta,
-            guidance_scale=cfg.guidance_scale,
-        )
+            rng, init_rng = jax.random.split(rng)
+            z0 = jax.random.normal(init_rng, shape) * self.schedule.init_noise_sigma
+            tsa, acp_t, acp_prev = ddim_schedule_arrays(
+                self.schedule, cfg.num_inference_timesteps
+            )
+            z = ddim_fused(
+                params["denoiser"], cond_full, z0, tsa, acp_t, acp_prev,
+                num_steps=cfg.num_inference_timesteps,
+                num_layers=cfg.num_layers,
+            )
+        else:
+
+            def denoiser_fn(x, t, step_rng):
+                return self.denoiser.apply(params["denoiser"], x, t, cond_full)
+
+            z = ddim_sample(
+                denoiser_fn,
+                self.schedule,
+                rng,
+                shape,
+                num_inference_steps=cfg.num_inference_timesteps,
+                eta=cfg.eta,
+                guidance_scale=cfg.guidance_scale,
+            )
         return self.vae.apply(
             params["vae"], z, cfg.motion_length, lengths, method=self.vae.decode
         )

@@ -66,3 +66,64 @@ class TestGradients:
             ref_grads,
             our_grads,
         )
+
+
+class TestFusedDenoiser:
+    def test_pure_twin_parity(self):
+        import jax
+
+        from seeme_tpu.models import Denoiser
+        from seeme_tpu.ops.denoiser_fused import denoiser_apply_pure
+
+        den = Denoiser(nfeats=75, md_trans=True)
+        B, D = 4, 256
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+        t = jnp.asarray(rng.randint(0, 1000, B))
+        cond = jnp.asarray(rng.randn(B, 2, D).astype(np.float32))
+        params = den.init(jax.random.PRNGKey(0), x, t, cond)
+        # perturb so zero-init output layers are active
+        params = jax.tree.map(
+            lambda a: a + 0.02 * jax.random.normal(jax.random.PRNGKey(7), a.shape),
+            params,
+        )
+        ref = den.apply(params, x, t, cond)
+        ours = denoiser_apply_pure(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+    def test_fused_loop_interpret_matches_scan(self):
+        import jax
+
+        from seeme_tpu.diffusion import DiffusionSchedule
+        from seeme_tpu.models import Denoiser
+        from seeme_tpu.ops import denoiser_fused as df
+
+        den = Denoiser(nfeats=75, md_trans=True)
+        B, D, NS = 4, 256, 5
+        rng = np.random.RandomState(1)
+        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+        cond = jnp.asarray(rng.randn(B, 2, D).astype(np.float32))
+        params = den.init(jax.random.PRNGKey(0), z0, jnp.zeros((B,), jnp.int32), cond)
+        params = jax.tree.map(
+            lambda a: a + 0.02 * jax.random.normal(jax.random.PRNGKey(7), a.shape),
+            params,
+        )
+        sched = DiffusionSchedule()
+        ts = sched.ddim_timesteps(NS)
+        z = z0
+        for t in ts:
+            pred = den.apply(params, z, jnp.full((B,), t), cond)
+            z = sched.ddim_step(pred, jnp.asarray(t), z, NS)
+
+        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
+        fused = _interpreted(
+            df.ddim_fused, params, cond, z0, tsa, acp_t, acp_prev
+        ) if False else df.ddim_fused(
+            params, cond, z0, tsa, acp_t, acp_prev, num_steps=NS, interpret=True
+        )
+        # bf16-resident weights: tolerance is the bf16 rounding amplified by
+        # the 1/sqrt(acp) recursion (~1% of scale)
+        scale = float(jnp.abs(z).max())
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(z), atol=0.02 * scale
+        )
