@@ -433,16 +433,23 @@ class SeeMeSystem:
         reconstruct for stage 'vae'), renorm, SMPL FK on prediction / ground
         truth / interactee, plus global-orientation quaternions for the
         head-orientation metric (`mld.py:1460-1555`)."""
+        if stage == "vae":
+            feats_rst = self.reconstruct(params, batch, rng)
+        else:
+            feats_rst = self.sample(params, batch, rng)
+        return self.eval_fk(params, batch, feats_rst)
+
+    def eval_fk(
+        self, params: Dict, batch: Dict, feats_rst: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """The FK/quaternion half of the eval forward — separately jittable so
+        the sampling graph (which embeds the fused Pallas kernels) and the FK
+        graph compile independently."""
         from ..core.rotations import aa_to_quat
 
         cfg = self.cfg
         actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
         other = INTERACTEE if actor == WEARER else WEARER
-
-        if stage == "vae":
-            feats_rst = self.reconstruct(params, batch, rng)
-        else:
-            feats_rst = self.sample(params, batch, rng)
 
         raw_rst = self.renorm(feats_rst)
         raw_ref = self.renorm(self.actor_features(batch, actor))

@@ -56,3 +56,37 @@ class TensorBoardWriter:
     def close(self) -> None:
         if self._w is not None:
             self._w.close()
+
+
+class WandbLogger:
+    """Optional Weights & Biases logging (`train.py:63-84` in the reference);
+    silently disabled when wandb is not installed or PROJECT is null."""
+
+    def __init__(self, cfg, exp_dir: str):
+        self._run = None
+        project = cfg.select("LOGGER.WANDB.PROJECT", None)
+        if not project:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=str(project),
+                entity=cfg.select("LOGGER.WANDB.ENTITY", None),
+                group=cfg.select("LOGGER.WANDB.GROUP", None),
+                dir=exp_dir,
+                mode="offline" if cfg.select("LOGGER.WANDB.OFFLINE", False) else "online",
+                resume="allow",
+                id=cfg.select("LOGGER.WANDB.RESUME_ID", None),
+                config=dict(cfg),
+            )
+        except Exception:
+            self._run = None
+
+    def log(self, step: int, values: dict, prefix: str = "") -> None:
+        if self._run is not None:
+            self._run.log({f"{prefix}{k}": float(v) for k, v in values.items()}, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()

@@ -79,10 +79,17 @@ def main():
                   stage, batch_size, reps)
         return
 
-    eval_step = jax.jit(
-        lambda p, b, r: system.eval_outputs(p, b, r, stage=stage),
-        static_argnames=(),
-    )
+    # sampling (embeds the fused Pallas kernels) and FK compile separately —
+    # one combined graph pushes the axon remote compiler past 10 minutes
+    if stage == "vae":
+        sample_jit = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
+    else:
+        sample_jit = jax.jit(lambda p, b, r: system.sample(p, b, r))
+    fk_jit = jax.jit(system.eval_fk)
+
+    def eval_step(p, b, r):
+        feats_rst = sample_jit(p, b, r)
+        return fk_jit(p, b, feats_rst)
 
     save_preds = bool(cfg.select("TEST.SAVE_PREDICTIONS", False))
     all_metrics = []
@@ -182,6 +189,31 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         all_metrics.append(results)
         logger.info("replication %d: %s", rep,
                     " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))
+
+    # multimodality: re-sample MM_NUM_REPEATS times per caption on a subset
+    # and report within-sample diversity (`test.py:124-129` mm_mode +
+    # `metrics/mm.py`)
+    if bool(cfg.select("TEST.MM", False)):
+        from seeme_tpu.eval import MMMetrics
+
+        mm_samples = int(cfg.select("TEST.MM_NUM_SAMPLES", 32))
+        mm_repeats = int(cfg.select("TEST.MM_NUM_REPEATS", 8))
+        mm = MMMetrics(mm_num_times=int(cfg.select("TEST.MM_NUM_TIMES", 10)))
+        rng = jax.random.PRNGKey(7)
+        batch_np = next(datamodule.batches("test", min(mm_samples, batch_size), shuffle=False))
+        texts = batch_np.pop("text", None)
+        if "text_emb" not in batch_np and texts is not None:
+            batch_np["text_emb"] = system.text_encoder(texts)
+        text_emb = jax.numpy.asarray(batch_np["text_emb"])
+        reps = []
+        for r in range(mm_repeats):
+            rng, sr = jax.random.split(rng)
+            feats = sample_fn(params, text_emb, sr)
+            reps.append(np.asarray(feats).reshape(len(text_emb), -1))
+        mm.update(np.stack(reps, axis=1))
+        mm_val = mm.compute()
+        all_metrics = [dict(m, **mm_val) for m in all_metrics]
+        logger.info("MultiModality: %.4f", mm_val["MultiModality"])
 
     stats = get_metric_statistics(all_metrics)
     for k, s in sorted(stats.items()):

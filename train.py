@@ -47,7 +47,12 @@ def main():
         resume_scan,
         save_state,
     )
-    from seeme_tpu.utils.logger import TensorBoardWriter, create_experiment_dir, create_logger
+    from seeme_tpu.utils.logger import (
+        TensorBoardWriter,
+        WandbLogger,
+        create_experiment_dir,
+        create_logger,
+    )
 
     overrides = {}
     if args.batch_size:
@@ -62,6 +67,7 @@ def main():
     logger = create_logger(exp_dir)
     save_config(cfg, os.path.join(exp_dir, "config.yaml"))
     tb = TensorBoardWriter(exp_dir, enabled=bool(cfg.select("LOGGER.TENSORBOARD", True)))
+    wb = WandbLogger(cfg, exp_dir)
 
     stage = str(cfg.TRAIN.STAGE)
     seed = int(cfg.get("SEED_VALUE", 1234))
@@ -159,6 +165,7 @@ def main():
             msg = " ".join(f"{k}={v:.5f}" for k, v in sorted(means.items()))
             logger.info("epoch %d/%d %s", epoch, end_epoch, msg)
             tb.scalars(int(state.step), means, prefix=f"{stage}/")
+            wb.log(int(state.step), means, prefix=f"{stage}/")
         if (epoch + 1) % val_every == 0:
             val_means = validate(state)
             logger.info(
@@ -173,6 +180,7 @@ def main():
     elapsed = time.perf_counter() - t_start
     logger.info("done: %d epochs in %.1fs", end_epoch - start_epoch, elapsed)
     tb.close()
+    wb.finish()
 
 
 if __name__ == "__main__":
