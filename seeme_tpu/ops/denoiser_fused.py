@@ -83,10 +83,14 @@ def _mha_1head(p, x):
     return _dense(p["out_proj"], out)
 
 
-def _encoder_layer(p, x):
-    """Post-norm TransformerEncoderLayer, relu ff (the MD sa_block)."""
+def _encoder_layer(p, x, activation="relu"):
+    """Post-norm TransformerEncoderLayer (relu ff in the MD sa_block; gelu in
+    the plain denoiser path, `configs/modules/denoiser.yaml`)."""
+    act = jax.nn.relu if activation == "relu" else functools.partial(
+        jax.nn.gelu, approximate=True
+    )
     x = _layer_norm(x + _mha_1head(p["self_attn"], x), p["norm1"]["scale"], p["norm1"]["bias"])
-    h = _dense(p["linear2"], jax.nn.relu(_dense(p["linear1"], x)))
+    h = _dense(p["linear2"], act(_dense(p["linear1"], x)))
     return _layer_norm(x + h, p["norm2"]["scale"], p["norm2"]["bias"])
 
 
@@ -153,54 +157,93 @@ def _timestep_embedding(t, dim, flip_sin_to_cos=True, freqs=None):
 
 def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
                         cond: jnp.ndarray, num_layers: int = 5,
-                        freqs=None) -> jnp.ndarray:
-    """Pure-jnp twin of Denoiser(md_trans=True, text_encoded_dim==d).apply.
+                        freqs=None, md_trans: bool = True,
+                        text_freq_dim: int = None) -> jnp.ndarray:
+    """Pure-jnp twin of `models/denoiser.Denoiser.apply` (both block types).
 
-    params: the flax param dict `params['params']` of `models/denoiser.Denoiser`.
-    x (B, n_tok, D), timesteps (B,), cond (B, n_cond, D).
+    params: the flax param dict of `models/denoiser.Denoiser`.
+    x (B, n_tok, D), timesteps (B,), cond (B, n_cond, text_encoded_dim).
+    md_trans=True: MD stylization blocks over the latent tokens with (xf, emb)
+    conditioning; md_trans=False: plain post-norm blocks over the token
+    concatenation [x; time; cond] keeping the first n_tok outputs
+    (`mld_denoiser.py:193-222`). When text_encoded_dim != D the condition is
+    projected by relu->emb_proj first.
     """
     p = params["params"]
     D = x.shape[-1]
-    t_emb = _timestep_embedding(timesteps, D, freqs=freqs)
+    n_tok = x.shape[1]
+    freq_dim = text_freq_dim or cond.shape[-1] if "emb_proj_dense" in p else D
+    t_emb = _timestep_embedding(timesteps, freq_dim, freqs=freqs)
     te = p["time_embedding"]
     h = _dense(te["linear_1"], t_emb)
     time_emb = _dense(te["linear_2"], jax.nn.silu(h))[:, None, :]
 
-    pe = jax.lax.slice(p["query_pos"]["pe"], (0, 0), (x.shape[1], D))
-    xseq = x + pe[None].astype(x.dtype)
+    if "emb_proj_dense" in p:
+        cond = _dense(p["emb_proj_dense"], jax.nn.relu(cond))
 
     enc = p["encoder"]
     n_block = (num_layers - 1) // 2
+
+    if md_trans:
+        pe = jax.lax.slice(p["query_pos"]["pe"], (0, 0), (n_tok, D))
+        h = x + pe[None].astype(x.dtype)
+        skips = []
+        for i in range(n_block):
+            h = _md_layer(enc[f"input_{i}"], h, cond, time_emb)
+            skips.append(h)
+        h = _md_layer(enc["middle"], h, cond, time_emb)
+        for i in range(n_block):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _dense(enc[f"skip_linear_{i}"], h)
+            h = _md_layer(enc[f"output_{i}"], h, cond, time_emb)
+        return _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
+
+    xseq = jnp.concatenate([x, time_emb, cond], axis=1)
+    pe = jax.lax.slice(p["query_pos"]["pe"], (0, 0), (xseq.shape[1], D))
+    h = xseq + pe[None].astype(xseq.dtype)
     skips = []
-    h = xseq
     for i in range(n_block):
-        h = _md_layer(enc[f"input_{i}"], h, cond, time_emb)
+        h = _encoder_layer(enc[f"input_{i}"], h, activation="gelu")
         skips.append(h)
-    h = _md_layer(enc["middle"], h, cond, time_emb)
+    h = _encoder_layer(enc["middle"], h, activation="gelu")
     for i in range(n_block):
         h = jnp.concatenate([h, skips.pop()], axis=-1)
         h = _dense(enc[f"skip_linear_{i}"], h)
-        h = _md_layer(enc[f"output_{i}"], h, cond, time_emb)
-    return _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
+        h = _encoder_layer(enc[f"output_{i}"], h, activation="gelu")
+    h = _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
+    return h[:, :n_tok]
 
 
 # ------------------------------------------------------------- fused sampling
 
-def _fused_kernel_factory(treedef, num_steps, num_layers, compute_dtype):
+def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
+                          md_trans=True):
+    do_cfg = guidance_scale > 1.0
+
     def kernel(ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref,
                *param_refs, out_ref):
         leaves = [r[...] for r in param_refs]  # bf16-resident weights
         params = jax.tree.unflatten(treedef, leaves)
-        cond = cond_ref[...].astype(jnp.float32)
+        cond = cond_ref[...].astype(jnp.float32)  # (2B, N, D) when CFG
         z = z_ref[...].astype(jnp.float32)
         B = z.shape[0]
 
         def body(i, z):
             t = ts_ref[0, i]
-            eps = denoiser_apply_pure(
-                params, z, jnp.full((B,), t), cond, num_layers,
-                freqs=freqs_ref[...],
-            )
+            if do_cfg:
+                # [uncond; cond] halves in one doubled batch (`mld.py:467-492`)
+                z_in = jnp.concatenate([z, z], axis=0)
+                pred = denoiser_apply_pure(
+                    params, z_in, jnp.full((2 * B,), t), cond, num_layers,
+                    freqs=freqs_ref[...], md_trans=md_trans,
+                )
+                uncond, cond_pred = pred[:B], pred[B:]
+                eps = uncond + guidance_scale * (cond_pred - uncond)
+            else:
+                eps = denoiser_apply_pure(
+                    params, z, jnp.full((B,), t), cond, num_layers,
+                    freqs=freqs_ref[...], md_trans=md_trans,
+                )
             acp_t = acp_ref[0, i]
             acp_prev = acp_prev_ref[0, i]
             x0 = (z - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
@@ -213,7 +256,8 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, compute_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "num_layers", "interpret")
+    jax.jit,
+    static_argnames=("num_steps", "num_layers", "guidance_scale", "md_trans", "interpret"),
 )
 def ddim_fused(
     denoiser_params: Dict,
@@ -224,6 +268,8 @@ def ddim_fused(
     acp_prev: jnp.ndarray,      # (num_steps,) alphas_cumprod at prev step
     num_steps: int = 50,
     num_layers: int = 5,
+    guidance_scale: float = 1.0,
+    md_trans: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole DDIM reverse process (epsilon prediction, eta=0) in one kernel.
@@ -235,7 +281,16 @@ def ddim_fused(
     leaves, treedef = jax.tree.flatten(denoiser_params)
     leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
 
-    kernel = _fused_kernel_factory(treedef, num_steps, num_layers, jnp.float32)
+    # sinusoid dim = text_encoded_dim when the condition projection exists
+    dp = denoiser_params["params"]
+    freq_dim = (
+        dp["emb_proj_dense"]["kernel"].shape[0]
+        if "emb_proj_dense" in dp
+        else z0.shape[-1]
+    )
+    kernel = _fused_kernel_factory(
+        treedef, num_steps, num_layers, guidance_scale, md_trans
+    )
 
     def kernel_entry(*refs):
         ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref = refs[:6]
@@ -263,7 +318,7 @@ def ddim_fused(
         acp_t.reshape(1, -1).astype(jnp.float32),
         acp_prev.reshape(1, -1).astype(jnp.float32),
         z0, cond,
-        jnp.asarray(timestep_freqs(z0.shape[-1])).reshape(1, -1),
+        jnp.asarray(timestep_freqs(freq_dim)).reshape(1, -1),
         *leaves_bf16,
     )
 
