@@ -9,15 +9,17 @@ the only outputs are the final latents.
 
 Structure:
   * `denoiser_apply_pure(params, x, timesteps, cond)` — a pure-jnp twin of
-    `models/denoiser.Denoiser` (md_trans path), consuming the flax param
-    pytree directly; parity-tested against `Denoiser.apply`.
-  * `ddim_fused(params, cond, z0, schedule, num_steps)` — pallas_call whose
-    kernel unflattens the params from VMEM refs and runs
-    `fori_loop(num_steps)` of [denoiser + DDIM update] (eta=0, the shipped
-    config) entirely on-chip.
+    `models/denoiser.Denoiser` covering BOTH block types (md_trans stylization
+    and the plain token-concat path) and the emb_proj condition projection,
+    consuming the flax param pytree directly; parity-tested vs `Denoiser.apply`.
+  * `ddim_fused(params, cond, z0, ...)` — pallas_call whose kernel unflattens
+    the params from VMEM refs and runs `fori_loop(num_steps)` of
+    [denoiser + CFG mix + DDIM update] (eta=0) entirely on-chip.
 
-Used by `SeeMeSystem.sample` on TPU when shapes/config allow; the scan-based
-XLA path remains the reference implementation and the fallback.
+Used by `SeeMeSystem.sample` / `T2MSystem.sample` on TPU; the scan-based XLA
+path remains the bit-faithful reference implementation and the fallback
+(bf16 weight residency costs ~0.8% latent deviation at guidance 1, scaling
+roughly linearly with the guidance factor).
 """
 
 from __future__ import annotations
