@@ -29,3 +29,4 @@ __all__ = [
     "synthetic_smpl",
 ]
 from .ric import qinv, qmul, qrot, recover_from_ric, recover_root_rot_pos
+from .rifke import joints_to_rifke, rifke_to_joints

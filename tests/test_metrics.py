@@ -177,3 +177,55 @@ class TestActionMetrics:
         m1.update(gen_close, gt)
         m2.update(gen_far, gt)
         assert m1.compute()["FID"] < m2.compute()["FID"]
+
+
+class TestRifkeApeAve:
+    def test_rifke_roundtrip(self):
+        """forward -> inverse recovers joints up to global yaw/XZ origin
+        (the transform is rotation/translation invariant by design)."""
+        import jax.numpy as jnp
+
+        from seeme_tpu.core.rifke import joints_to_rifke, rifke_to_joints
+
+        rng = np.random.RandomState(0)
+        T = 12
+        joints = rng.randn(T, 22, 3).astype(np.float32) * 0.3
+        joints[:, :, 1] += 1.0
+        feats = joints_to_rifke(jnp.asarray(joints))
+        assert feats.shape == (T, 1 + 21 * 3 + 1 + 2)
+        rec = np.asarray(rifke_to_joints(feats))
+        assert rec.shape == (T, 22, 3)
+        # invariants preserved: root height (up to floor shift) and
+        # root-relative pose distances
+        d_orig = np.linalg.norm(joints[:, 1:] - joints[:, :1], axis=2)
+        d_rec = np.linalg.norm(rec[:, 1:] - rec[:, :1], axis=2)
+        np.testing.assert_allclose(d_rec, d_orig, atol=1e-4)
+
+    def test_rifke_yaw_invariance(self):
+        import jax.numpy as jnp
+
+        from seeme_tpu.core.rifke import joints_to_rifke
+
+        rng = np.random.RandomState(1)
+        joints = rng.randn(8, 22, 3).astype(np.float32) * 0.3
+        c, s = np.cos(0.7), np.sin(0.7)
+        R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+        rotated = joints @ R.T
+        f1 = np.asarray(joints_to_rifke(jnp.asarray(joints)))
+        f2 = np.asarray(joints_to_rifke(jnp.asarray(rotated)))
+        # pose features (indices 1..-3) are yaw-invariant
+        np.testing.assert_allclose(f1[:, 1:-3], f2[:, 1:-3], atol=1e-4)
+
+    def test_ape_ave_zero_for_identical(self):
+        from seeme_tpu.eval.ape_ave import ApeAveMetrics
+
+        rng = np.random.RandomState(2)
+        j = rng.randn(2, 10, 22, 3).astype(np.float32)
+        m = ApeAveMetrics()
+        m.update(j, j, [10, 10])
+        res = m.compute()
+        for k, v in res.items():
+            assert v < 1e-5, (k, v)
+        m2 = ApeAveMetrics()
+        m2.update(j + 0.1, j, [10, 10])
+        assert m2.compute()["APE_root"] > 0.05
