@@ -63,3 +63,25 @@ def test_build_system_smoke():
     system, sc = build_system(cfg)
     assert sc.estimate == "interactee"
     assert system.vae.nfeats == 75
+
+
+def test_instantiate_from_config_registry():
+    from seeme_tpu.config import instantiate_from_config
+    from seeme_tpu.models.vae import MotionVae
+
+    cfg = load_config(os.path.join(CONFIGS, "config_mld_egobody.yaml"))
+    vae = instantiate_from_config(cfg.model.motion_vae)
+    assert isinstance(vae, MotionVae)
+    assert vae.nfeats == 75  # ${model.nfeats} resolved through the cascade
+    # the reference's dotted target aliases to the native class
+    den = instantiate_from_config(
+        {"target": "mld.models.architectures.mld_denoiser.MldDenoiser",
+         "params": {"nfeats": 75, "ablation": {"ignored": True}}}
+    )
+    from seeme_tpu.models.denoiser import Denoiser
+
+    assert isinstance(den, Denoiser)
+    import pytest
+
+    with pytest.raises(KeyError):
+        instantiate_from_config({"target": "evil.module.Thing"})
