@@ -9,7 +9,7 @@ correlated to the wearer (so the conditioning signal is learnable).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from precomputed schedule arrays.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ callable."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -13,8 +13,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..core.smpl import PARENTS
-
 SMPL_CHAINS = [
     [0, 1, 4, 7, 10],        # left leg
     [0, 2, 5, 8, 11],        # right leg

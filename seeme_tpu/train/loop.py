@@ -18,7 +18,7 @@ import optax
 
 from typing import TYPE_CHECKING
 
-from ..parallel.mesh import batch_sharding, replicated, shard_batch
+from ..parallel.mesh import batch_sharding, replicated
 from .state import TrainState
 
 if TYPE_CHECKING:  # avoid a models <-> train import cycle at runtime

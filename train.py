@@ -33,7 +33,6 @@ def main():
     args = parse_args()
 
     import jax
-    import numpy as np
 
     from seeme_tpu.config import load_config, save_config
     from seeme_tpu.config.build import build_system
