@@ -320,6 +320,11 @@ class SeeMeSystem:
                 mask = jax.random.uniform(mask_rng, scene.shape) < cfg.guidance_uncondp
                 scene = jnp.where(mask, 0.0, scene)
             tokens.append(self.encode_scene(params, scene))
+        if not tokens and not self.use_image:
+            # unconditional config: a single zero token (cond_emb=None in the
+            # reference degenerates to no conditioning, `mld.py:1012-1013`)
+            B = batch["feats"].shape[0]
+            tokens.append(jnp.zeros((B, 1, cfg.latent_dim[-1])))
         if self.use_image:
             feats = self.image_encoder.apply(
                 params["image_encoder"], batch["image"], train=False

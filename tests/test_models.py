@@ -125,3 +125,25 @@ class TestRot6dPath:
         loss, terms = system.vae_loss(params, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
         assert "recons_joints" in terms
+
+
+def test_unconditional_diffusion():
+    import numpy as np
+    from seeme_tpu.core import synthetic_smpl
+    from seeme_tpu.models.seeme import SeeMeConfig, SeeMeSystem
+
+    cfg = SeeMeConfig(motion_length=8, condition=(), num_inference_timesteps=3)
+    smpl = synthetic_smpl(n_verts=64)
+    system = SeeMeSystem(cfg, smpl, np.zeros(75, np.float32), np.ones(75, np.float32))
+    params = system.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "feats": jnp.asarray(rng.randn(2, 8, 2, 72).astype(np.float32) * 0.3),
+        "transl": jnp.zeros((2, 2, 8, 3)),
+        "betas": jnp.zeros((2, 2, 8, 10)),
+        "length": jnp.full((2,), 8),
+    }
+    loss, _ = system.diffusion_loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = system.sample(params, batch, jax.random.PRNGKey(2))
+    assert out.shape == (2, 8, 75)
