@@ -90,12 +90,41 @@ class SmplModel:
 
 
 def _to_np(x: Any) -> np.ndarray:
-    """Convert pickle fields (np arrays, chumpy arrays, scipy sparse) to dense np."""
+    """Convert pickle fields (np arrays, chumpy arrays/stubs, scipy sparse)
+    to dense np."""
     if hasattr(x, "toarray"):  # scipy sparse
         return np.asarray(x.toarray())
-    if hasattr(x, "r"):  # chumpy
+    if hasattr(x, "r"):  # real chumpy
         return np.asarray(x.r)
-    return np.asarray(x)
+    return np.asarray(x)  # ndarray or _ChumpyStub via __array__
+
+
+class _ChumpyStub:
+    """Unpickles chumpy arrays without chumpy installed: the official SMPL
+    pkls store chumpy.ch.Ch objects whose state carries the dense array."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+    def __array__(self, dtype=None):
+        for key in ("x", "v", "a"):
+            if key in self.__dict__:
+                return np.asarray(self.__dict__[key], dtype=dtype)
+        raise ValueError("chumpy stub holds no array payload")
+
+
+class _SmplUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyStub
+        if module == "scipy.sparse.csc" or module == "scipy.sparse._csc":
+            import scipy.sparse
+
+            return scipy.sparse.csc_matrix
+        return super().find_class(module, name)
 
 
 def load_smpl(path: str, dtype=jnp.float32) -> SmplModel:
@@ -103,12 +132,13 @@ def load_smpl(path: str, dtype=jnp.float32) -> SmplModel:
 
     Same file contract as `smplx.SMPL(model_path=...)` in the reference
     (`configs/config_mld_egobody.yaml:125` points at SMPL_NEUTRAL.pkl).
+    The pkl path unpickles without chumpy installed (stubbed classes).
     """
     if path.endswith(".npz"):
         data = dict(np.load(path, allow_pickle=True))
     else:
         with open(path, "rb") as f:
-            data = pickle.load(f, encoding="latin1")
+            data = _SmplUnpickler(f, encoding="latin1").load()
 
     v_template = _to_np(data["v_template"]).astype(np.float32)
     shapedirs = _to_np(data["shapedirs"]).astype(np.float32)[..., :NUM_BETAS]

@@ -117,3 +117,62 @@ def test_jit_and_grad():
     assert g.shape == (1, 69)
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_load_smpl_pkl_without_chumpy(tmp_path):
+    """Official SMPL pkls carry chumpy objects; the loader must unpickle
+    them with chumpy absent (stubbed classes reading the array payload)."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.sparse as sp
+
+    ch_mod = types.ModuleType("chumpy")
+    ch_ch = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        def __init__(self, *a):
+            pass
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+
+    def make_ch(x):
+        c = Ch()
+        c.__dict__["x"] = x
+        return c
+
+    ch_ch.Ch = Ch
+    ch_mod.ch = ch_ch
+    sys.modules["chumpy"] = ch_mod
+    sys.modules["chumpy.ch"] = ch_ch
+    try:
+        rng = np.random.RandomState(0)
+        V = 32
+        data = {
+            "v_template": make_ch(rng.randn(V, 3)),
+            "shapedirs": make_ch(rng.randn(V, 3, 10)),
+            "posedirs": rng.randn(V, 3, 207),
+            "J_regressor": sp.csc_matrix(np.abs(rng.rand(24, V))),
+            "weights": make_ch(np.abs(rng.rand(V, 24))),
+            "kintree_table": np.vstack(
+                [np.concatenate([[4294967295], np.zeros(23, np.int64)]), np.arange(24)]
+            ),
+            "f": rng.randint(0, V, (10, 3)),
+        }
+        path = tmp_path / "fake_smpl.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    from seeme_tpu.core.smpl import load_smpl
+
+    m = load_smpl(str(path))
+    assert m.v_template.shape == (32, 3)
+    assert m.j_regressor.shape == (24, 32)
+    assert int(m.parents[0]) == -1
+    # loaded model runs through FK
+    out = smpl_forward(m, jnp.zeros((1, 10)), jnp.zeros((1, 69)), jnp.zeros((1, 3)))
+    assert out["joints"].shape[1] == 24  # no extra ids for non-6890 models
