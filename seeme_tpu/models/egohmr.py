@@ -285,7 +285,6 @@ class EgoHmr:
         pose_6d = pred_x0 * self.body_rep_std + self.body_rep_mean
         rotmats = rot6d_to_rotmat(pose_6d.reshape(-1, 6), mode="diffusion").reshape(B, 24, 3, 3)
 
-        img_feats = cond[:, 0, : cfg.img_feat_dim]  # unmasked row exists when joint visible
         # betas conditioned on the *unmasked* image/scene/transl/cam feats
         # (`forward:286-289` rebuilds them without the visibility mask)
         scene = self.encode_scene(params, batch["scene_pcd"])

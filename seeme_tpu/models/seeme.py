@@ -113,8 +113,10 @@ class SeeMeSystem:
                  mean: jnp.ndarray, std: jnp.ndarray):
         self.cfg = cfg
         self.smpl = smpl
-        self.mean = jnp.asarray(mean).reshape(-1)[: cfg.nfeats]
-        self.std = jnp.asarray(std).reshape(-1)[: cfg.nfeats]
+        self.mean_full = jnp.asarray(mean).reshape(-1)
+        self.std_full = jnp.asarray(std).reshape(-1)
+        self.mean = self.mean_full[: cfg.nfeats]
+        self.std = self.std_full[: cfg.nfeats]
         d = cfg.latent_dim[-1]
         self.vae = MotionVae(
             nfeats=cfg.nfeats,
@@ -239,6 +241,11 @@ class SeeMeSystem:
             trans = feats_raw[..., -3:].reshape(B * T, 3)
         else:
             assert transl is not None
+            # batch translations are stored normalized (data contract,
+            # `batch.py`); renormalize with the transl slice of mean/std
+            P = cfg.pose_feats
+            if self.std_full.shape[0] >= P + 3:
+                transl = transl * self.std_full[P : P + 3] + self.mean_full[P : P + 3]
             trans = transl.reshape(B * T, 3)
         betas_flat = betas.reshape(B * T, -1)
         joints = smpl_joints24(self.smpl, betas_flat, pose, glob, trans)

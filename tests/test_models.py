@@ -147,3 +147,30 @@ def test_unconditional_diffusion():
     assert np.isfinite(float(loss))
     out = system.sample(params, batch, jax.random.PRNGKey(2))
     assert out.shape == (2, 8, 75)
+
+
+def test_predict_transl_false_renormalizes_translations():
+    """With PREDICT_TRANSL=False the batch translations (stored normalized)
+    must be renormalized before entering SMPL FK."""
+    import numpy as np
+    from seeme_tpu.core import synthetic_smpl
+    from seeme_tpu.models.seeme import SeeMeConfig, SeeMeSystem
+
+    cfg = SeeMeConfig(motion_length=4, condition=(), predict_transl=False)
+    assert cfg.nfeats == 72
+    smpl = synthetic_smpl(n_verts=64)
+    mean = np.zeros(75, np.float32)
+    std = np.ones(75, np.float32)
+    mean[72:] = 5.0  # transl mean offset
+    system = SeeMeSystem(cfg, smpl, mean, std)
+    feats_raw = jnp.zeros((1, 4, 72))
+    transl_norm = jnp.zeros((1, 4, 3))  # normalized zero == raw 5.0
+    joints = system.feats_to_joints(feats_raw, jnp.zeros((1, 4, 10)), transl_norm)
+    # pelvis should sit near the renormalized translation (5, 5, 5) + rest offset
+    rest = system.feats_to_joints(
+        feats_raw, jnp.zeros((1, 4, 10)),
+        (jnp.zeros((1, 4, 3)) - 5.0)  # normalized value giving raw 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(joints[0, 0, 0] - rest[0, 0, 0]), [5.0, 5.0, 5.0], atol=1e-4
+    )
