@@ -52,6 +52,22 @@ def _wrap(obj: Any) -> Any:
     return obj
 
 
+def parse_dotted_overrides(pairs) -> Dict:
+    """['TEST.MEAN=true', ...] -> nested override dict (yacs `opts` style,
+    values parsed as yaml scalars)."""
+    out: Dict = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise ValueError(f"override '{pair}' is not KEY.PATH=value")
+        path, raw = pair.split("=", 1)
+        node = out
+        parts = path.strip().split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = yaml.safe_load(raw)
+    return out
+
+
 def deep_merge(base: Dict, override: Dict) -> Dict:
     """Override wins; dicts merge recursively (OmegaConf.merge semantics)."""
     out = dict(base)

@@ -30,3 +30,4 @@ __all__ = [
 ]
 from .ric import qinv, qmul, qrot, recover_from_ric, recover_root_rot_pos
 from .rifke import joints_to_rifke, rifke_to_joints
+from .rotation2xyz import rot6d_motion_to_joints

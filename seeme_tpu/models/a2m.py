@@ -131,3 +131,11 @@ class A2MSystem:
         return self.vae.apply(
             params["vae"], z, cfg.num_frames, lengths, method=self.vae.decode
         )
+
+    def feats_to_joints(self, smpl, feats, translation: bool = True):
+        """FK sampled rot6d features to SMPL joints for rendering / metrics
+        (the reference routes a2m outputs through Rotation2xyz,
+        `mld/models/operator/rotation2xyz.py:14-119`)."""
+        from ..core.rotation2xyz import rot6d_motion_to_joints
+
+        return rot6d_motion_to_joints(smpl, feats, translation=translation)

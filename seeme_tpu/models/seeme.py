@@ -493,13 +493,23 @@ class SeeMeSystem:
             "quat_ref": quat_ref,
         }
 
-    def reconstruct(self, params: Dict, batch: Dict, rng: jax.Array) -> jnp.ndarray:
-        """VAE-only eval path (stage 'vae', `mld.py:1328-1360`)."""
+    def reconstruct(
+        self, params: Dict, batch: Dict, rng: jax.Array,
+        sample_mean: bool = False, fact: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """VAE-only eval path (stage 'vae', `mld.py:1328-1360`).
+
+        sample_mean / fact mirror `sample_from_distribution`
+        (`mld.py:335-358`, the TEST.MEAN / TEST.FACT overrides): mean
+        reconstruction, or eps rescaled by fact."""
         cfg = self.cfg
         actor = WEARER if cfg.estimate == "wearer" else INTERACTEE
         f_ref = self.actor_features(batch, actor)
         mu, logvar = self.encode_motion_latent(params["vae"], f_ref)
-        z = reparameterize(rng, mu, logvar)
+        if sample_mean:
+            z = mu
+        else:
+            z = reparameterize(rng, mu, logvar, fact=fact)
         return self.vae.apply(
             params["vae"], z, cfg.motion_length, method=self.vae.decode
         )

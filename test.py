@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--checkpoint", default=None, help="params checkpoint path override")
     p.add_argument("--replication_times", type=int, default=None)
+    p.add_argument("opts", nargs="*", default=[],
+                   help="dotted config overrides, e.g. TEST.MEAN=true")
     return p.parse_args()
 
 
@@ -42,9 +44,11 @@ def main():
     from seeme_tpu.train.checkpoint import restore_params
     from seeme_tpu.utils.logger import create_experiment_dir, create_logger
 
-    overrides = {}
+    from seeme_tpu.config.loader import parse_dotted_overrides
+
+    overrides = parse_dotted_overrides(args.opts)
     if args.batch_size:
-        overrides = {"TEST": {"BATCH_SIZE": args.batch_size}}
+        overrides.setdefault("TEST", {})["BATCH_SIZE"] = args.batch_size
     cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
     if args.replication_times:
         cfg["TEST"]["REPLICATION_TIMES"] = args.replication_times
@@ -82,7 +86,14 @@ def main():
     # sampling (embeds the fused Pallas kernels) and FK compile separately —
     # one combined graph pushes the axon remote compiler past 10 minutes
     if stage == "vae":
-        sample_jit = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
+        sample_mean = bool(cfg.select("TEST.MEAN", False))
+        fact = cfg.select("TEST.FACT", None)
+        fact = float(fact) if fact not in (None, 1, 1.0) else None
+        sample_jit = jax.jit(
+            lambda p, b, r: system.reconstruct(
+                p, b, r, sample_mean=sample_mean, fact=fact
+            )
+        )
     else:
         sample_jit = jax.jit(lambda p, b, r: system.sample(p, b, r))
     fk_jit = jax.jit(system.eval_fk)

@@ -37,3 +37,20 @@ def test_sample_per_class_differs(setup):
     out1 = system.sample(params, jnp.array([5, 5]), jax.random.PRNGKey(3))
     assert out0.shape == (2, cfg.num_frames, cfg.nfeats)
     assert not np.allclose(out0, out1, atol=1e-4)  # class changes the sample
+
+
+def test_feats_to_joints_fk(setup):
+    """Sampled rot6d features run through the Rotation2xyz-equivalent FK."""
+    from seeme_tpu.core import synthetic_smpl
+
+    _, system, _, _ = setup
+    smpl = synthetic_smpl(n_verts=128)
+    feats = np.zeros((2, 4, 150), np.float32)
+    feats[..., :144] = np.tile(np.eye(3)[:, :2].reshape(6), 24)
+    # translation rides in the first 3 slots of the 25th rot6d row
+    # (`rotation2xyz.py` unpacks x[:, -1, :3])
+    feats[..., 144:147] = [0.5, 0.0, -0.25]
+    joints = system.feats_to_joints(smpl, jnp.asarray(feats))
+    assert joints.shape == (2, 4, 24, 3)
+    # pelvis carries exactly the translation channel
+    np.testing.assert_allclose(joints[0, 0, 0], [0.5, 0.0, -0.25], atol=1e-5)

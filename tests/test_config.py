@@ -85,3 +85,20 @@ def test_instantiate_from_config_registry():
 
     with pytest.raises(KeyError):
         instantiate_from_config({"target": "evil.module.Thing"})
+
+
+def test_parse_dotted_overrides():
+    from seeme_tpu.config.loader import parse_dotted_overrides
+
+    ov = parse_dotted_overrides(
+        ["TEST.MEAN=true", "TEST.FACT=1.5", "NAME=run1", "TRAIN.ABLATION.X=null"]
+    )
+    assert ov == {
+        "TEST": {"MEAN": True, "FACT": 1.5},
+        "NAME": "run1",
+        "TRAIN": {"ABLATION": {"X": None}},
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_dotted_overrides(["TEST.MEAN"])

@@ -176,3 +176,49 @@ def test_load_smpl_pkl_without_chumpy(tmp_path):
     # loaded model runs through FK
     out = smpl_forward(m, jnp.zeros((1, 10)), jnp.zeros((1, 69)), jnp.zeros((1, 3)))
     assert out["joints"].shape[1] == 24  # no extra ids for non-6890 models
+
+
+class TestRotation2xyz:
+    """rot6d action-feature FK (`mld/models/operator/rotation2xyz.py`)."""
+
+    def _identity_feats(self, B, T, transl=True):
+        # diffusion-layout rot6d of identity: the (3, 2) column block of
+        # eye(3) flattened row-major -> [1,0, 0,1, 0,0]
+        ident6d = np.tile(np.eye(3)[:, :2].reshape(6), 24)
+        F = 24 * 6 + (3 if transl else 0)
+        feats = np.zeros((B, T, F), np.float32)
+        feats[..., : 24 * 6] = ident6d
+        return jnp.asarray(feats)
+
+    def test_identity_pose_matches_rest_joints(self):
+        from seeme_tpu.core import rot6d_motion_to_joints, smpl_forward
+
+        feats = self._identity_feats(2, 4)
+        joints = rot6d_motion_to_joints(MODEL, feats)
+        assert joints.shape == (2, 4, 24, 3)
+        rest = smpl_forward(MODEL, **zero_pose(1))["joints"][0, :24]
+        rest = rest - rest[:1]
+        np.testing.assert_allclose(joints[0, 0], rest, atol=1e-5)
+
+    def test_translation_channel_moves_root(self):
+        from seeme_tpu.core import rot6d_motion_to_joints
+
+        feats = self._identity_feats(1, 2)
+        feats = feats.at[..., 24 * 6 :].set(jnp.array([1.0, -2.0, 0.5]))
+        base = rot6d_motion_to_joints(MODEL, self._identity_feats(1, 2))
+        moved = rot6d_motion_to_joints(MODEL, feats)
+        np.testing.assert_allclose(moved, base + jnp.array([1.0, -2.0, 0.5]), atol=1e-5)
+
+    def test_keep_global_orient_false_zeroes_root_rotation(self):
+        from seeme_tpu.core import rot6d_motion_to_joints
+        from seeme_tpu.core.rotations import rotmat_to_rot6d
+
+        rng = np.random.RandomState(3)
+        aa = jnp.asarray(rng.randn(1, 1, 3).astype(np.float32))
+        R = aa_to_rotmat(aa)  # (1, 1, 3, 3)
+        feats = self._identity_feats(1, 1)
+        six = rotmat_to_rot6d(R, mode="diffusion").reshape(6)
+        feats = feats.at[0, 0, :6].set(six)
+        rooted = rot6d_motion_to_joints(MODEL, feats, keep_global_orient=False)
+        ident = rot6d_motion_to_joints(MODEL, self._identity_feats(1, 1))
+        np.testing.assert_allclose(rooted, ident, atol=1e-4)

@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--nodebug", action="store_true")
     p.add_argument("--device", default=None, help="unused on TPU; kept for CLI parity")
+    p.add_argument("opts", nargs="*", default=[],
+                   help="dotted config overrides, e.g. TRAIN.END_EPOCH=5")
     return p.parse_args()
 
 
@@ -53,9 +55,11 @@ def main():
         create_logger,
     )
 
-    overrides = {}
+    from seeme_tpu.config.loader import parse_dotted_overrides
+
+    overrides = parse_dotted_overrides(args.opts)
     if args.batch_size:
-        overrides = {"TRAIN": {"BATCH_SIZE": args.batch_size}}
+        overrides.setdefault("TRAIN", {})["BATCH_SIZE"] = args.batch_size
     cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
     if args.nodebug:
         cfg["DEBUG"] = False
@@ -161,8 +165,11 @@ def main():
     for epoch in range(start_epoch, end_epoch):
         state, means = run_epoch(train_step, state, data_iter(epoch), mesh=mesh)
         if epoch % log_every == 0:
+            from seeme_tpu.utils.profiling import memory_stats
+
             msg = " ".join(f"{k}={v:.5f}" for k, v in sorted(means.items()))
-            logger.info("epoch %d/%d %s", epoch, end_epoch, msg)
+            mem = " ".join(f"{k}={v:.2f}" for k, v in memory_stats().items())
+            logger.info("epoch %d/%d %s %s", epoch, end_epoch, msg, mem)
             tb.scalars(int(state.step), means, prefix=f"{stage}/")
             wb.log(int(state.step), means, prefix=f"{stage}/")
         if (epoch + 1) % val_every == 0:
