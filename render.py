@@ -2,8 +2,11 @@
 """Rendering CLI: npy joint sequences -> videos.
 
 Same npy contract as the reference `render.py:47-...` (`--npy` one file or
-`--dir` a folder of `(T, J, 3)` arrays). Uses the matplotlib backend; the
-Blender mesh backend activates only when `bpy` is importable, as in the
+`--dir` a folder of `(T, J, 3)` arrays). `--pairs` renders `pred_*.npy`
+against the matching `gt_*.npy` in one overlay video — the role of the
+reference's `render_vae.py` over saved gt/pred dumps (test.py
+SAVE_PREDICTIONS writes exactly these pairs). Uses the matplotlib backend;
+the Blender mesh backend activates only when `bpy` is importable, as in the
 reference (`mld/render/blender/`)."""
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ def main():
     ap.add_argument("--out", default="renders")
     ap.add_argument("--fps", type=int, default=20)
     ap.add_argument("--ext", default="gif", choices=["gif", "mp4"])
+    ap.add_argument("--pairs", action="store_true",
+                    help="in --dir, overlay pred_*.npy with matching gt_*.npy")
     args = ap.parse_args()
 
     import numpy as np
@@ -30,22 +35,36 @@ def main():
     if args.npy:
         files.append(args.npy)
     if args.dir:
-        files.extend(sorted(glob(os.path.join(args.dir, "*.npy"))))
+        pattern = "pred_*.npy" if args.pairs else "*.npy"
+        files.extend(sorted(glob(os.path.join(args.dir, pattern))))
     if not files:
-        ap.error("provide --npy or --dir")
+        ap.error("provide --npy or --dir" +
+                 (" (no pred_*.npy found)" if args.pairs else ""))
 
     if blender_available():
         print("bpy detected — mesh rendering available (not used for joints)")
 
     os.makedirs(args.out, exist_ok=True)
-    for f in files:
-        data = np.load(f, allow_pickle=True)
+    def load(path):
+        data = np.load(path, allow_pickle=True)
         if data.ndim == 2:  # (T, J*3)
             data = data.reshape(data.shape[0], -1, 3)
+        return data
+
+    for f in files:
+        data = load(f)
+        gt = None
+        if args.pairs:
+            gt_path = os.path.join(
+                os.path.dirname(f), os.path.basename(f).replace("pred_", "gt_", 1)
+            )
+            if os.path.exists(gt_path):
+                gt = load(gt_path)
         name = os.path.splitext(os.path.basename(f))[0]
         out = os.path.join(args.out, f"{name}.{args.ext}")
-        written = render_joints_video(data, out, fps=args.fps, title=name)
-        print(f"rendered {f} -> {written}")
+        written = render_joints_video(data, out, fps=args.fps, title=name,
+                                      gt_joints=gt)
+        print(f"rendered {f} -> {written}" + (" (+gt overlay)" if gt is not None else ""))
 
 
 if __name__ == "__main__":

@@ -153,8 +153,15 @@ class EgoMetric:
                 self._add("HEAD_ORIENTATION_ERROR", per_seq["head_err"][b])
                 self._add("ACCL", per_seq["accl"][b])
 
-    def compute(self) -> Dict[str, float]:
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+    def compute(self, sync: bool = False) -> Dict[str, float]:
+        """Means over accumulated sequences; sync=True all-reduces the
+        (sum, count) pairs across hosts first (multi-host eval)."""
+        sums, counts = self.sums, self.counts
+        if sync:
+            from ..parallel import allreduce_metric_sums
+
+            sums, counts = allreduce_metric_sums(sums, counts)
+        return {k: sums[k] / max(counts[k], 1) for k in sums}
 
     def reset(self) -> None:
         self.sums.clear()

@@ -75,3 +75,33 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+
+
+def allreduce_metric_sums(sums, counts):
+    """Sum per-host metric accumulators across processes.
+
+    Plays the role of Lightning's `sync_dist=True` on the reference's
+    metric logs (SURVEY.md §2.4): each host evaluates its shard of the test
+    set, then the (sum, count) pairs are summed over `jax.process_count()`
+    processes so every host computes identical means. Single-process: no-op.
+    All hosts must carry the same key set (they do — keys are determined by
+    the metric class, and filtered-out sequences still leave the key present
+    once any sequence passed; hosts disagree only if one filtered *all*
+    sequences, in which case pre-seed the accumulator)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(sums), dict(counts)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(sums)
+    vec = np.asarray(
+        [sums[k] for k in keys] + [float(counts[k]) for k in keys], np.float32
+    )
+    total = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+    n = len(keys)
+    return (
+        {k: float(total[i]) for i, k in enumerate(keys)},
+        {k: int(round(float(total[n + i]))) for i, k in enumerate(keys)},
+    )

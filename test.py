@@ -135,7 +135,7 @@ def main():
                     L = int(batch_np["length"][b])
                     np.save(os.path.join(pred_dir, f"pred_{i}.npy"), j_rst[b, :L])
                     np.save(os.path.join(pred_dir, f"gt_{i}.npy"), j_ref[b, :L])
-        results = metric.compute()
+        results = metric.compute(sync=jax.process_count() > 1)
         all_metrics.append(results)
         logger.info("replication %d: %s", rep,
                     " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))

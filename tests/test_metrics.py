@@ -229,3 +229,21 @@ class TestRifkeApeAve:
         m2 = ApeAveMetrics()
         m2.update(j + 0.1, j, [10, 10])
         assert m2.compute()["APE_root"] > 0.05
+
+
+def test_metric_compute_sync_single_process():
+    """sync=True is the multi-host reduction path; single-process it must be
+    an exact no-op on the means."""
+    from seeme_tpu.eval import EgoMetric
+    from seeme_tpu.parallel import allreduce_metric_sums
+
+    m = EgoMetric(split="val")
+    m._add("mpjpe", 2.0)
+    m._add("mpjpe", 4.0)
+    m._add("root_error", 1.0)
+    assert m.compute(sync=True) == m.compute(sync=False) == {
+        "mpjpe": 3.0, "root_error": 1.0,
+    }
+    sums, counts = allreduce_metric_sums(m.sums, m.counts)
+    assert sums == {"mpjpe": 6.0, "root_error": 1.0}
+    assert counts == {"mpjpe": 2, "root_error": 1}

@@ -77,3 +77,34 @@ def test_preprocess_roundtrip(tmp_path):
     validate_batch(batch, pose_feats=72, motion_length=60)
     # padded window appears with its true length
     assert batch["length"].dtype == np.int32
+
+
+def test_preprocess_rot6d(tmp_path):
+    """--data-type rot6d: 144-d diffusion-layout features + 147-d stats
+    (the compute_mean_std.py rot6d contract)."""
+    root = tmp_path / "EgoBody6d"
+    d = root / "raw" / "train"
+    d.mkdir(parents=True)
+    np.save(d / "rec_0.npy", make_raw_recording(120, seed=7))
+
+    result = subprocess.run(
+        [sys.executable, "tools/preprocess_egobody.py", "--root", str(root),
+         "--motion-length", "60", "--data-type", "rot6d"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert result.returncode == 0, result.stderr
+
+    proc = root / "processed"
+    mean = np.load(proc / "mean.npy")
+    assert mean.shape == (1, 147)  # 24 joints x 6 + transl(3)
+    data = dict(np.load(proc / "train.npz"))
+    assert data["feats"].shape == (2, 60, 2, 144)
+
+    # un-normalize one frame and check each 6d block is two orthonormal
+    # columns of a rotation (diffusion layout: (3,2) flattened row-major)
+    std = np.load(proc / "std.npy")
+    f = data["feats"][0, 0, 0] * std[0, :144] + mean[0, :144]
+    blocks = f.reshape(24, 3, 2)
+    for b in blocks:
+        np.testing.assert_allclose(b.T @ b, np.eye(2), atol=1e-4)

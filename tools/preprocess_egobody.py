@@ -40,7 +40,18 @@ def load_recording(path: str):
     return np.load(path, allow_pickle=True).item()
 
 
-def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69):
+def aa_to_rot6d(aa: np.ndarray) -> np.ndarray:
+    """axis-angle (..., J, 3) -> diffusion-layout rot6d (..., J, 6): the
+    (3, 2) column block of R flattened row-major (`compute_mean_std.py:50-56`)."""
+    from scipy.spatial.transform import Rotation
+
+    shape = aa.shape[:-1]
+    R = Rotation.from_rotvec(aa.reshape(-1, 3)).as_matrix()
+    return R[..., :, :2].reshape(*shape, 6).astype(np.float32)
+
+
+def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69,
+                      data_type: str = "angle"):
     """One recording dict -> list of fixed-shape examples (unnormalized)."""
     out = []
     wearer, interactee = rec["wearer"], rec["interactee"]
@@ -54,15 +65,22 @@ def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69):
         bt = np.asarray(actor["betas"], np.float32).reshape(n, -1)[s : s + length]
         return go, bp, tr, bt
 
+    # rot6d: (root + body joints) x diffusion-layout 6d, 144 dims for the
+    # 24-joint egobody layout (`mld.py:100`, `compute_mean_std.py:50-56`)
+    n_feat = (1 + pose_dims // 3) * 6 if data_type == "rot6d" else 3 + pose_dims
     for start, length in windows(n, motion_length):
         ex = {"length": np.int32(length)}
-        feats = np.zeros((motion_length, 2, 3 + pose_dims), np.float32)
+        feats = np.zeros((motion_length, 2, n_feat), np.float32)
         transl = np.zeros((2, motion_length, 3), np.float32)
         betas = np.zeros((2, motion_length, 10), np.float32)
         for a, actor in enumerate((wearer, interactee)):  # 0=wearer, 1=interactee
             go, bp, tr, bt = actor_feats(actor, start, length)
-            feats[:length, a, :3] = go
-            feats[:length, a, 3:] = bp
+            if data_type == "rot6d":
+                aa = np.concatenate([go, bp], axis=-1).reshape(length, -1, 3)
+                feats[:length, a] = aa_to_rot6d(aa).reshape(length, -1)
+            else:
+                feats[:length, a, :3] = go
+                feats[:length, a, 3:] = bp
             transl[a, :length] = tr
             betas[a, :length] = bt[:, :10]
         cam = np.zeros((motion_length, 6), np.float32)
@@ -76,8 +94,9 @@ def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69):
 
 
 def compute_mean_std(examples, pose_dims: int = 69):
-    """75-dim stats over valid frames of BOTH actors (the
-    `compute_mean_std.py` contract)."""
+    """[pose-feats | transl] stats over valid frames of BOTH actors — 75-dim
+    for the angle layout, 147-dim for rot6d (the `compute_mean_std.py` /
+    `compute_mean_std_gimo.py` contract)."""
     rows = []
     for ex in examples:
         L = int(ex["length"])
@@ -92,7 +111,7 @@ def compute_mean_std(examples, pose_dims: int = 69):
 
 
 def normalize_examples(examples, mean, std, pose_dims: int = 69):
-    P = 3 + pose_dims
+    P = examples[0]["feats"].shape[-1] if examples else 3 + pose_dims
     m_p, s_p = mean[0, :P], std[0, :P]
     m_t, s_t = mean[0, P : P + 3], std[0, P : P + 3]
     for ex in examples:
@@ -134,6 +153,8 @@ def main():
     ap.add_argument("--motion-length", type=int, default=60)
     ap.add_argument("--pose-dims", type=int, default=69, help="69 egobody / 63 gimo")
     ap.add_argument("--scene-points", type=int, default=20000)
+    ap.add_argument("--data-type", choices=("angle", "rot6d"), default="angle",
+                    help="feature representation (rot6d = 144-d, `mld.py:100`)")
     args = ap.parse_args()
 
     proc = os.path.join(args.root, "processed")
@@ -147,7 +168,8 @@ def main():
         examples = []
         for rec_path in recs:
             examples.extend(
-                extract_sequences(load_recording(rec_path), args.motion_length, args.pose_dims)
+                extract_sequences(load_recording(rec_path), args.motion_length,
+                                  args.pose_dims, args.data_type)
             )
         split_examples[split] = examples
         if split == "train":
