@@ -100,6 +100,32 @@ def build_t2m_system(cfg: Config, datamodule):
     ), t2m_cfg
 
 
+def build_a2m_system(cfg: Config, datamodule):
+    """Action-to-motion system for humanact12/uestc configs
+    (`configs/base.yaml:89-98` action branch)."""
+    from ..models.a2m import A2MConfig, A2MSystem
+
+    model = cfg.model
+    sched = model.get("scheduler", {})
+    loss = cfg.get("LOSS", {})
+    a2m_cfg = A2MConfig(
+        nfeats=int(getattr(datamodule, "nfeats", model.get("nfeats", 150))),
+        num_frames=int(cfg.select("DATASET.NUM_FRAMES", 60)),
+        num_classes=int(getattr(datamodule, "num_classes", 12)),
+        latent_dim=tuple(model.get("latent_dim", [1, 256])),
+        ff_size=int(model.get("ff_size", 128)),
+        num_layers=int(model.get("num_layers", 5)),
+        num_heads=int(model.get("num_head", model.get("num_heads", 1))),
+        dropout=float(model.get("droupout", model.get("dropout", 0.1))),
+        guidance_scale=float(model.get("guidance_scale", 7.5)),
+        guidance_uncondp=float(model.get("guidance_uncondp", 0.1)),
+        num_inference_timesteps=int(sched.get("num_inference_timesteps", 50)),
+        lambda_kl=float(loss.get("LAMBDA_KL", 1e-4)),
+        lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
+    )
+    return A2MSystem(a2m_cfg), a2m_cfg
+
+
 def build_system(
     cfg: Config,
     mean: Optional[np.ndarray] = None,

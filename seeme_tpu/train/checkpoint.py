@@ -71,8 +71,22 @@ def save_params(path: str, params: Dict) -> None:
 
 
 def restore_params(path: str, template: Dict) -> Dict:
+    """Restore a params pytree from either a params-only checkpoint
+    (`save_params`) or a CheckpointManager train-state step directory
+    (`<exp>/checkpoints/<step>`, which stores the full TrainState under
+    `default/` — the test CLI accepts both)."""
+    p = _abs(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(_abs(path), _host(template))
+    if os.path.isdir(os.path.join(p, "default")):
+        restored = ckptr.restore(os.path.join(p, "default"))
+        if isinstance(restored, dict) and "params" in restored:
+            restored = restored["params"]
+        missing = set(template) - set(restored)
+        if missing:
+            raise KeyError(f"checkpoint at {p} lacks param subtrees {missing}")
+        restored = {k: restored[k] for k in template}
+    else:
+        restored = ckptr.restore(p, _host(template))
     return jax.tree.map(jax.numpy.asarray, restored)
 
 

@@ -23,7 +23,7 @@ STAGE_TRAINABLE = {
     "vae": ("vae",),
     # stage 2 trains the denoiser and the condition projections; the VAE and
     # the frozen perception encoder do not update (`mld.py:267-271, 206-207`)
-    "diffusion": ("denoiser", "output_scene", "output_images"),
+    "diffusion": ("denoiser", "output_scene", "output_images", "embed_action"),
 }
 
 

@@ -58,10 +58,15 @@ def main():
 
     datamodule = get_datamodule(cfg)
     is_t2m = cfg.get("DATASET_NAME") in ("humanml3d", "kit")
+    is_a2m = cfg.get("DATASET_NAME") in ("humanact12", "uestc")
     if is_t2m:
         from seeme_tpu.config.build import build_t2m_system
 
         system, sys_cfg = build_t2m_system(cfg, datamodule)
+    elif is_a2m:
+        from seeme_tpu.config.build import build_a2m_system
+
+        system, sys_cfg = build_a2m_system(cfg, datamodule)
     else:
         system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
     params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
@@ -81,6 +86,10 @@ def main():
     if is_t2m:
         _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                   stage, batch_size, reps)
+        return
+    if is_a2m:
+        _a2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
+                  batch_size, reps)
         return
 
     # sampling (embeds the fused Pallas kernels) and FK compile separately —
@@ -225,6 +234,92 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         mm_val = mm.compute()
         all_metrics = [dict(m, **mm_val) for m in all_metrics]
         logger.info("MultiModality: %.4f", mm_val["MultiModality"])
+
+    stats = get_metric_statistics(all_metrics)
+    for k, s in sorted(stats.items()):
+        logger.info("%s: %.4f ± %.4f [%.4f, %.4f]",
+                    k, s["mean"], s["conf_interval"], s["min"], s["max"])
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    out_path = f"{exp_dir}/metrics_{stamp}.json"
+    with open(out_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    logger.info("wrote %s", out_path)
+
+
+def _a2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
+              batch_size, reps):
+    """Action-to-motion evaluation: sample conditioned on the test labels,
+    FK to joints, embed/classify with the pretrained GRU recognition model,
+    report FID / accuracy / Diversity / MultiModality (the reference's
+    `metrics/gru.py` / `metrics/stgcn.py` protocol). Without a converted
+    evaluator checkpoint (TEST.EVALUATOR_CHECKPOINT, produced by
+    `tools/convert_checkpoint.py --kind a2m_gru`) a randomly-initialized
+    evaluator still exercises the full protocol on synthetic data."""
+    import json
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seeme_tpu.config.build import load_smpl_or_synthetic
+    from seeme_tpu.eval import ActionMetrics, MotionDiscriminator, get_metric_statistics
+    from seeme_tpu.train.checkpoint import restore_params
+
+    smpl = load_smpl_or_synthetic(cfg)
+    T, J = sys_cfg.num_frames, 24
+    # uestc ships the rot6d ST-GCN evaluator, humanact12 the joints GRU
+    # (`metrics/stgcn.py:32-46` vs `metrics/gru.py`)
+    use_stgcn = str(cfg.get("DATASET_NAME")) == "uestc"
+    if use_stgcn:
+        from seeme_tpu.eval import STGCN
+
+        clf = STGCN(num_class=sys_cfg.num_classes)
+        clf_in = jnp.zeros((1, T, J, 6))
+    else:
+        clf = MotionDiscriminator(
+            hidden_size=int(cfg.select("TEST.EVALUATOR_HIDDEN", 128)),
+            num_layers=int(cfg.select("TEST.EVALUATOR_LAYERS", 2)),
+            output_size=sys_cfg.num_classes,
+        )
+        clf_in = jnp.zeros((1, T, J * 3))
+    clf_params = clf.init(
+        jax.random.PRNGKey(0), clf_in, jnp.ones((1,), jnp.int32)
+    )
+    eval_ckpt = str(cfg.select("TEST.EVALUATOR_CHECKPOINT", "") or "")
+    if eval_ckpt and os.path.exists(eval_ckpt):
+        clf_params = restore_params(eval_ckpt, clf_params)
+        logger.info("loaded evaluator %s", eval_ckpt)
+    else:
+        logger.info("no evaluator checkpoint — random-init recognition model")
+
+    sample_fn = jax.jit(lambda p, a, r: system.sample(p, a, r))
+    if use_stgcn:
+        # the evaluator consumes the rot6d pose block directly
+        fk = jax.jit(lambda f: f[..., : J * 6].reshape(-1, T, J, 6))
+    else:
+        fk = jax.jit(
+            lambda f: system.feats_to_joints(smpl, f).reshape(-1, T, J * 3)
+        )
+    classify = jax.jit(lambda j, L: clf.apply(clf_params, j, L))
+
+    all_metrics = []
+    for rep in range(reps):
+        metric = ActionMetrics(num_classes=sys_cfg.num_classes)
+        rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
+        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+            labels = jnp.asarray(batch_np["action"])
+            lengths = jnp.asarray(batch_np["length"])
+            rng, sr = jax.random.split(rng)
+            feats_gen = sample_fn(params, labels, sr)
+            logits_gen, feats_g = classify(fk(feats_gen), lengths)
+            _, feats_r = classify(fk(jnp.asarray(batch_np["motion"])), lengths)
+            metric.update(feats_g, feats_r, logits_gen, batch_np["action"])
+        results = metric.compute()
+        all_metrics.append(results)
+        logger.info("replication %d: %s", rep,
+                    " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))
 
     stats = get_metric_statistics(all_metrics)
     for k, s in sorted(stats.items()):

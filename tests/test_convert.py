@@ -177,3 +177,138 @@ def test_linear_conversion_roundtrip():
     ref = lin(torch.tensor(x)).detach().numpy()
     ours = x @ p["kernel"] + p["bias"]
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_a2m_gru_classifier_parity():
+    """Freshly-initialized torch stacked-GRU recognition model converted via
+    convert_a2m_gru must match MotionDiscriminator outputs at the selected
+    last-valid step (zero initial hidden on both sides)."""
+    import torch
+
+    from seeme_tpu.eval.action_classifier import MotionDiscriminator
+    from tools.convert_checkpoint import convert_a2m_gru
+
+    torch.manual_seed(0)
+    D, H, L, C = 12, 16, 2, 5
+    tm = torch.nn.Module()
+    tm.recurrent = torch.nn.GRU(D, H, L)
+    tm.linear1 = torch.nn.Linear(H, 30)
+    tm.linear2 = torch.nn.Linear(30, C)
+    sd = {k: v for k, v in tm.state_dict().items()}
+
+    B, T = 3, 9
+    x = torch.randn(T, B, D)
+    lengths = torch.tensor([9, 5, 2])
+    with torch.no_grad():
+        gru_o, _ = tm.recurrent(x, torch.zeros(L, B, H))
+        out = gru_o[lengths - 1, torch.arange(B)]
+        feats_t = torch.tanh(tm.linear1(out))
+        logits_t = tm.linear2(feats_t)
+
+    params = convert_a2m_gru(sd)
+    m = MotionDiscriminator(hidden_size=H, num_layers=L, output_size=C)
+    logits_j, feats_j = m.apply(
+        params, jnp.asarray(x.permute(1, 0, 2).numpy()),
+        jnp.asarray(lengths.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(feats_j), feats_t.numpy(), atol=1e-5)
+
+
+def test_uestc_stgcn_parity():
+    """Torch replica of the UESTC ST-GCN evaluator (same ops/ordering as
+    uestc_stgcn.py st_gcn blocks, eval mode) converted via
+    convert_uestc_stgcn must match eval/stgcn.py STGCN to fp32 tolerance."""
+    import torch
+    import torch.nn as tnn
+
+    from seeme_tpu.eval.stgcn import STGCN, smpl_spatial_adjacency
+    from tools.convert_checkpoint import convert_uestc_stgcn
+
+    torch.manual_seed(0)
+    K, V, C, classes = 3, 24, 6, 7
+    blocks = [(C, 64, 1, False), (64, 64, 1, True), (64, 128, 2, True),
+              (128, 128, 1, True)]
+
+    class TBlock(tnn.Module):
+        def __init__(self, cin, cout, stride, residual):
+            super().__init__()
+            self.gcn = tnn.Module()
+            self.gcn.conv = tnn.Conv2d(cin, cout * K, (1, 1))
+            self.tcn = tnn.Sequential(
+                tnn.BatchNorm2d(cout), tnn.ReLU(),
+                tnn.Conv2d(cout, cout, (9, 1), (stride, 1), (4, 0)),
+                tnn.BatchNorm2d(cout), tnn.Dropout(0),
+            )
+            if not residual:
+                self.residual = None
+            elif cin == cout and stride == 1:
+                self.residual = "id"
+            else:
+                self.residual = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, (stride, 1)), tnn.BatchNorm2d(cout))
+
+        def forward(self, x, A):
+            if self.residual is None:
+                res = 0
+            elif self.residual == "id":
+                res = x
+            else:
+                res = self.residual(x)
+            y = self.gcn.conv(x)
+            n, kc, t, v = y.shape
+            y = y.view(n, K, kc // K, t, v)
+            y = torch.einsum("nkctv,kvw->nctw", y, A)
+            return torch.relu(self.tcn(y) + res)
+
+    class TNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.data_bn = tnn.BatchNorm1d(V * C)
+            self.st_gcn_networks = tnn.ModuleList(
+                [TBlock(*b) for b in blocks])
+            self.edge_importance = tnn.ParameterList(
+                [tnn.Parameter(torch.randn(K, V, V) * 0.1 + 1)
+                 for _ in blocks])
+            self.fcn = tnn.Conv2d(blocks[-1][1], classes, 1)
+
+        def forward(self, x, A):  # x: (N, C, T, V)
+            N, _, T, _ = x.shape
+            y = x.permute(0, 3, 1, 2).reshape(N, V * C, T)
+            y = self.data_bn(y)
+            y = y.view(N, V, C, T).permute(0, 2, 3, 1)
+            for blk, imp in zip(self.st_gcn_networks, self.edge_importance):
+                y = blk(y, A * imp)
+            feats = y.mean(dim=(2, 3))
+            return self.fcn(feats[:, :, None, None])[:, :, 0, 0], feats
+
+    tm = TNet().eval()
+    # perturb BN running stats away from the (0, 1) init
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    A_np = smpl_spatial_adjacency()
+    A_t = torch.tensor(A_np)
+
+    N, T = 2, 16
+    x_t = torch.randn(N, C, T, V)
+    with torch.no_grad():
+        logits_t, feats_t = tm(x_t, A_t)
+
+    params = convert_uestc_stgcn(tm.state_dict())
+
+    import seeme_tpu.eval.stgcn as stgcn_mod
+    old = stgcn_mod._BLOCKS
+    stgcn_mod._BLOCKS = tuple((b[1], b[2]) for b in blocks)
+    try:
+        m = STGCN(num_class=classes, in_channels=C)
+        x_j = jnp.asarray(x_t.permute(0, 2, 3, 1).numpy())  # (N, T, V, C)
+        logits_j, feats_j = m.apply(params, x_j)
+    finally:
+        stgcn_mod._BLOCKS = old
+    np.testing.assert_allclose(np.asarray(feats_j), feats_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
+                               rtol=1e-4, atol=1e-4)

@@ -330,6 +330,78 @@ def convert_bigru(sd: Dict, prefix: str) -> Dict:
     return {"fwd": direction(""), "bwd": direction("_reverse")}
 
 
+def convert_a2m_gru(sd: Dict) -> Dict:
+    """action2motion GRU recognition model (`humanact12_gru.py:6-82`) ->
+    eval/action_classifier.py MotionDiscriminator. torch stacked nn.GRU
+    layers weight_ih_l{k}/weight_hh_l{k} map onto recurrent/cell_{k}; gate
+    order (r, z, n) matches GruCell."""
+    n_layers = sum(1 for k in sd if k.startswith("recurrent.weight_ih_l")
+                   and not k.endswith("_reverse"))
+    recurrent = {}
+    for k in range(n_layers):
+        recurrent[f"cell_{k}"] = {
+            "weight_ih": {
+                "kernel": _t(sd[f"recurrent.weight_ih_l{k}"]).T,
+                "bias": _t(sd[f"recurrent.bias_ih_l{k}"]),
+            },
+            "weight_hh": {
+                "kernel": _t(sd[f"recurrent.weight_hh_l{k}"]).T,
+                "bias": _t(sd[f"recurrent.bias_hh_l{k}"]),
+            },
+        }
+    return {
+        "params": {
+            "recurrent": recurrent,
+            "linear1": convert_linear(sd, "linear1"),
+            "linear2": convert_linear(sd, "linear2"),
+        }
+    }
+
+
+def _bn(sd: Dict, prefix: str) -> Dict:
+    return {
+        "scale": _t(sd[f"{prefix}.weight"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+        "mean": _t(sd[f"{prefix}.running_mean"]),
+        "var": _t(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv2d(sd: Dict, prefix: str) -> Dict:
+    # torch (out, in, kH, kW) -> flax (kH, kW, in, out)
+    return {
+        "kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0),
+        "bias": _t(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_uestc_stgcn(sd: Dict) -> Dict:
+    """UESTC ST-GCN recognition model (`uestc_stgcn.py:8-111`) ->
+    eval/stgcn.py STGCN. The final 1x1 Conv2d classifier maps to a Dense
+    over the pooled features (identical math)."""
+    params: Dict = {"data_bn": _bn(sd, "data_bn")}
+    n_blocks = sum(1 for k in sd if k.endswith(".gcn.conv.weight"))
+    for i in range(n_blocks):
+        p = f"st_gcn_networks.{i}"
+        block = {
+            "gcn": {"conv": _conv2d(sd, f"{p}.gcn.conv")},
+            "bn1": _bn(sd, f"{p}.tcn.0"),
+            "tcn": _conv2d(sd, f"{p}.tcn.2"),
+            "bn2": _bn(sd, f"{p}.tcn.3"),
+        }
+        if f"{p}.residual.0.weight" in sd:
+            block["res_conv"] = _conv2d(sd, f"{p}.residual.0")
+            block["res_bn"] = _bn(sd, f"{p}.residual.1")
+        params[f"block_{i}"] = block
+        if f"edge_importance.{i}" in sd:
+            params[f"edge_importance_{i}"] = _t(sd[f"edge_importance.{i}"])
+    params["fcn"] = {
+        "kernel": _t(sd["fcn.weight"])[:, :, 0, 0].T,
+        "bias": _t(sd["fcn.bias"]),
+    }
+    return {"params": params}
+
+
 def convert_t2m_textencoder(sd: Dict) -> Dict:
     return {
         "params": {
@@ -376,7 +448,8 @@ def convert_t2m_movementencoder(sd: Dict) -> Dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
-                    choices=["mld", "prohmr", "t2m_text", "t2m_motion", "t2m_move"])
+                    choices=["mld", "prohmr", "t2m_text", "t2m_motion",
+                             "t2m_move", "a2m_gru", "uestc_stgcn"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--num_layers", type=int, default=5)
@@ -409,6 +482,10 @@ def main():
         params = convert_t2m_textencoder(sd)
     elif args.kind == "t2m_motion":
         params = convert_t2m_motionencoder(sd)
+    elif args.kind == "a2m_gru":
+        params = convert_a2m_gru(sd)
+    elif args.kind == "uestc_stgcn":
+        params = convert_uestc_stgcn(sd)
     else:
         params = convert_t2m_movementencoder(sd)
 

@@ -79,10 +79,15 @@ def main():
         logger.info("dataset release not found -> synthetic datamodule")
 
     is_t2m = cfg.get("DATASET_NAME") in ("humanml3d", "kit")
+    is_a2m = cfg.get("DATASET_NAME") in ("humanact12", "uestc")
     if is_t2m:
         from seeme_tpu.config.build import build_t2m_system
 
         system, sys_cfg = build_t2m_system(cfg, datamodule)
+    elif is_a2m:
+        from seeme_tpu.config.build import build_a2m_system
+
+        system, sys_cfg = build_a2m_system(cfg, datamodule)
     else:
         system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
     params = system.init_params(jax.random.PRNGKey(seed))
