@@ -28,7 +28,8 @@ KIT_NFEATS = 251
 
 
 class SyntheticT2MDataset:
-    def __init__(self, num_samples=64, max_len=196, min_len=40, nfeats=HUMANML_NFEATS, seed=0):
+    def __init__(self, num_samples=64, max_len=196, min_len=40,
+                 nfeats=HUMANML_NFEATS, seed=0, text_dim=768):
         rng = np.random.RandomState(seed)
         self.max_len = max_len
         self.nfeats = nfeats
@@ -42,8 +43,9 @@ class SyntheticT2MDataset:
         self.mean = flat.mean(0)
         self.std = flat.std(0) + 1e-6
         self.texts = [f"a person performs action {i % 7}" for i in range(num_samples)]
-        # deterministic pseudo text embeddings correlated with the label
-        self.text_embs = rng.randn(7, 768).astype(np.float32)[
+        # deterministic pseudo text embeddings correlated with the label,
+        # at the configured conditioning width
+        self.text_embs = rng.randn(7, text_dim).astype(np.float32)[
             np.arange(num_samples) % 7
         ]
 
@@ -78,10 +80,13 @@ class HumanML3DDataModule:
         )
         if self.is_synthetic:
             n = 32 if cfg.get("DEBUG", False) else 256
+            # synthetic caption embeddings must match the denoiser's
+            # conditioning width (`model.denoiser.params.text_encoded_dim`)
+            tdim = int(cfg.select("model.denoiser.params.text_encoded_dim", 768) or 768)
             self._sets = {
-                "train": SyntheticT2MDataset(n, self.max_len, self.min_len, nfeats, 0),
-                "val": SyntheticT2MDataset(max(n // 4, 33), self.max_len, self.min_len, nfeats, 1),
-                "test": SyntheticT2MDataset(max(n // 4, 33), self.max_len, self.min_len, nfeats, 2),
+                "train": SyntheticT2MDataset(n, self.max_len, self.min_len, nfeats, 0, tdim),
+                "val": SyntheticT2MDataset(max(n // 4, 33), self.max_len, self.min_len, nfeats, 1, tdim),
+                "test": SyntheticT2MDataset(max(n // 4, 33), self.max_len, self.min_len, nfeats, 2, tdim),
             }
             self.mean = self._sets["train"].mean
             self.std = self._sets["train"].std
@@ -90,6 +95,10 @@ class HumanML3DDataModule:
             self.root = root
             self.mean = np.load(os.path.join(root, "Mean.npy"))
             self.std = np.load(os.path.join(root, "Std.npy"))
+            # t2m evaluator stats (`mean_eval` contract, HumanML3D.py:47-55)
+            for stat in ("mean_eval", "std_eval"):
+                p = os.path.join(root, f"{stat.split('_')[0].capitalize()}_eval.npy")
+                setattr(self, stat, np.load(p) if os.path.exists(p) else None)
             self._ids: Dict[str, List[str]] = {}
             for split in ("train", "val", "test"):
                 path = os.path.join(root, f"{split}.txt")
@@ -164,6 +173,16 @@ class HumanML3DDataModule:
     # ------------------------------------------------------------- transforms
     def renorm(self, features):
         return features * self.std + self.mean
+
+    def renorm4t2m(self, features):
+        """Dataset normalization -> t2m-evaluator normalization
+        (`renorm4t2m`, `mld/data/HumanML3D.py:47-55`). Identity when the
+        evaluator stats (mean_eval.npy/std_eval.npy beside mean/std) are
+        absent — the synthetic fallback."""
+        raw = features * self.std + self.mean
+        if getattr(self, "mean_eval", None) is not None:
+            return (raw - self.mean_eval) / self.std_eval
+        return raw
 
     def feats2joints(self, features):
         """normalized features -> (B, T, njoints, 3) via RIC recovery

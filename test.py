@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--checkpoint", default=None, help="params checkpoint path override")
     p.add_argument("--replication_times", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this applies jax.config after import)")
     p.add_argument("opts", nargs="*", default=[],
                    help="dotted config overrides, e.g. TEST.MEAN=true")
     return p.parse_args()
@@ -34,6 +37,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from seeme_tpu.config import load_config
@@ -181,16 +187,31 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
     import jax
     import numpy as np
 
-    from seeme_tpu.eval import MRMetrics, get_metric_statistics
+    from seeme_tpu.eval import MRMetrics, TM2TMetrics, get_metric_statistics
+    from seeme_tpu.eval.t2m_evaluator import T2MEvaluator
 
     sample_fn = jax.jit(
         lambda p, t, r: system.sample(p, t, r)
     )
     recon_fn = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
 
+    # TM2T evaluator embeddings (`t2m_eval`, `mld.py:1955-1995`); pretrained
+    # weights via TEST.T2M_EVALUATOR_DIR (converted text/ move/ motion/
+    # subdirs), random-init otherwise — numbers only comparable when loaded
+    evaluator = T2MEvaluator(
+        nfeats=sys_cfg.nfeats,
+        ckpt_dir=str(cfg.select("TEST.T2M_EVALUATOR_DIR", "") or "") or None,
+        glove_root=str(cfg.select("DATASET.WORD_VERTILIZER_PATH", "") or "") or None,
+    )
+    if not evaluator.is_pretrained:
+        logger.info("t2m evaluator running with random init "
+                    "(set TEST.T2M_EVALUATOR_DIR for comparable TM2T numbers)")
+    renorm4t2m = getattr(datamodule, "renorm4t2m", None)
+
     all_metrics = []
     for rep in range(reps):
         mr = MRMetrics()
+        tm2t = TM2TMetrics()
         rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
         for batch_np in datamodule.batches("test", batch_size, shuffle=False):
             texts = batch_np.pop("text", None)
@@ -204,8 +225,19 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                 feats_rst = sample_fn(params, batch["text_emb"], step_rng)
             joints_rst = np.asarray(datamodule.feats2joints(feats_rst))
             joints_ref = np.asarray(datamodule.feats2joints(batch["motion"]))
-            mr.update(joints_rst, joints_ref, np.asarray(batch["length"]))
+            lengths = np.asarray(batch["length"])
+            mr.update(joints_rst, joints_ref, lengths)
+            if texts is not None and renorm4t2m is not None:
+                rec = renorm4t2m(np.asarray(feats_rst))
+                gt = renorm4t2m(np.asarray(batch["motion"]))
+                tm2t.update(
+                    evaluator.embed_text(texts),
+                    evaluator.embed_motion(rec, lengths),
+                    evaluator.embed_motion(gt, lengths),
+                )
         results = mr.compute()
+        if tm2t.text_embeddings:
+            results.update(tm2t.compute())
         all_metrics.append(results)
         logger.info("replication %d: %s", rep,
                     " ".join(f"{k}={v:.3f}" for k, v in sorted(results.items())))

@@ -183,3 +183,36 @@ def test_clip_fallback_deterministic():
         (a[0, 0] @ b[0, 0]) / (np.linalg.norm(a[0, 0]) * np.linalg.norm(b[0, 0]))
     )
     assert cos > 0.3
+
+
+def test_t2m_evaluator_embeddings():
+    """T2MEvaluator: caption + motion co-embeddings feed TM2TMetrics
+    (the `t2m_eval` protocol, `mld.py:1955-1995`)."""
+    from seeme_tpu.eval import TM2TMetrics
+    from seeme_tpu.eval.t2m_evaluator import T2MEvaluator
+
+    ev = T2MEvaluator(nfeats=263)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(8, 32, 263).astype(np.float32)
+    lengths = np.array([32, 24, 16, 8, 32, 20, 12, 28])
+
+    texts = [f"a person does action {i}" for i in range(8)]
+
+    t = ev.embed_text(texts)
+    m = ev.embed_motion(feats, lengths)
+    assert t.shape == m.shape == (8, 512)
+    # deterministic: same captions re-embed identically
+    np.testing.assert_allclose(ev.embed_text(texts), t, atol=0)
+    # TM2T pools need >= R_size sequences
+    t = np.tile(t, (4, 1))
+    m = np.tile(m, (4, 1))
+    # (embeddings are NOT invariant to the padded length: the movement conv
+    # encoder's edge padding sits at the end of the padded sequence, exactly
+    # as in the reference pipeline — so no crop-invariance assertion here)
+    # distinct motions embed distinctly
+    assert not np.allclose(m[0], m[4], atol=1e-3)
+
+    tm = TM2TMetrics(diversity_times=4)
+    tm.update(t, m, m)
+    out = tm.compute()
+    assert np.isfinite(out["FID"]) and out["FID"] < 1e-3  # identical pools

@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--nodebug", action="store_true")
     p.add_argument("--device", default=None, help="unused on TPU; kept for CLI parity")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this applies jax.config after import)")
     p.add_argument("opts", nargs="*", default=[],
                    help="dotted config overrides, e.g. TRAIN.END_EPOCH=5")
     return p.parse_args()
@@ -35,6 +38,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from seeme_tpu.config import load_config, save_config
     from seeme_tpu.config.build import build_system
