@@ -312,3 +312,97 @@ def test_uestc_stgcn_parity():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_egohmr_gcn_conversion_parity():
+    """Torch replica of the EgoHMR ModulatedGCN stack (modulated graph conv +
+    BatchNorm1d blocks, residual pairs, output conv) converted via
+    convert_egohmr's block helpers must match nn/gcn.py ModulatedGCN in
+    inference mode."""
+    import math
+
+    import torch
+    import torch.nn as tnn
+
+    from seeme_tpu.nn.gcn import ModulatedGCN, smpl_adjacency
+    from tools.convert_checkpoint import _gcn_block, _modulated_gconv
+
+    torch.manual_seed(0)
+    J, D_in, H, D_out, L = 24, 30, 16, 6, 2
+    adj_np = smpl_adjacency()
+    adj_t = torch.tensor(adj_np, dtype=torch.float32)
+
+    class TModulated(tnn.Module):
+        def __init__(self, din, dout):
+            super().__init__()
+            self.W = tnn.Parameter(torch.randn(2, din, dout) * 0.2)
+            self.M = tnn.Parameter(torch.rand(J, dout))
+            self.adj2 = tnn.Parameter(torch.randn(J, J) * 0.01)
+            self.bias = tnn.Parameter(torch.randn(dout) / math.sqrt(dout))
+
+        def forward(self, x):
+            h0, h1 = x @ self.W[0], x @ self.W[1]
+            adj = adj_t + self.adj2
+            adj = (adj.T + adj) / 2
+            eye = torch.eye(J)
+            out = (adj * eye) @ (self.M * h0) + (adj * (1 - eye)) @ (self.M * h1)
+            return out + self.bias
+
+    class TBlock(tnn.Module):
+        def __init__(self, din, dout):
+            super().__init__()
+            self.gconv = TModulated(din, dout)
+            self.bn = tnn.BatchNorm1d(dout)
+
+        def forward(self, x):
+            x = self.gconv(x).transpose(1, 2)
+            x = self.bn(x).transpose(1, 2)
+            return torch.relu(x)
+
+    class TRes(tnn.Module):
+        def __init__(self, h):
+            super().__init__()
+            self.gconv1 = TBlock(h, h)
+            self.gconv2 = TBlock(h, h)
+
+        def forward(self, x):
+            return x + self.gconv2(self.gconv1(x))
+
+    class TGCN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gconv_input = tnn.Sequential(TBlock(D_in, H))
+            self.gconv_layers = tnn.Sequential(*[TRes(H) for _ in range(L)])
+            self.gconv_output = TModulated(H, D_out)
+
+        def forward(self, x):
+            return self.gconv_output(self.gconv_layers(self.gconv_input(x)))
+
+    tm = TGCN().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+
+    sd = {f"diffusion_model.{k}": v for k, v in tm.state_dict().items()}
+    gcn_params, gcn_stats = {}, {}
+    p, s = _gcn_block(sd, "diffusion_model.gconv_input.0")
+    gcn_params["gconv_input"], gcn_stats["gconv_input"] = p, s
+    for i in range(L):
+        sub_p, sub_s = {}, {}
+        for j in (1, 2):
+            p, s = _gcn_block(sd, f"diffusion_model.gconv_layers.{i}.gconv{j}")
+            sub_p[f"gconv{j}"], sub_s[f"gconv{j}"] = p, s
+        gcn_params[f"res_{i}"], gcn_stats[f"res_{i}"] = sub_p, sub_s
+    gcn_params["gconv_output"] = _modulated_gconv(sd, "diffusion_model.gconv_output")
+
+    x_t = torch.randn(3, J, D_in)
+    with torch.no_grad():
+        out_t = tm(x_t)
+
+    m = ModulatedGCN(adj=adj_np, hid_dim=H, out_dim=D_out, num_layers=L)
+    out_j = m.apply({"params": gcn_params, "batch_stats": gcn_stats},
+                    jnp.asarray(x_t.numpy()))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-4, atol=1e-4)

@@ -330,6 +330,67 @@ def convert_bigru(sd: Dict, prefix: str) -> Dict:
     return {"fwd": direction(""), "bwd": direction("_reverse")}
 
 
+def _modulated_gconv(sd: Dict, prefix: str) -> Dict:
+    """ModulatedGraphConv W/M/adj2/bias map 1:1 (`modulated_gcn_conv.py:15-36`
+    -> nn/gcn.py): W is (2, in, out) on both sides, no transpose."""
+    return {
+        "W": _t(sd[f"{prefix}.W"]),
+        "M": _t(sd[f"{prefix}.M"]),
+        "adj2": _t(sd[f"{prefix}.adj2"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+    }
+
+
+def _gcn_block(sd: Dict, prefix: str):
+    """_GraphConv (gconv + BatchNorm1d) -> GraphConvBlock params/batch_stats."""
+    params = {
+        "gconv": _modulated_gconv(sd, f"{prefix}.gconv"),
+        "bn": {"scale": _t(sd[f"{prefix}.bn.weight"]),
+               "bias": _t(sd[f"{prefix}.bn.bias"])},
+    }
+    stats = {"bn": {"mean": _t(sd[f"{prefix}.bn.running_mean"]),
+                    "var": _t(sd[f"{prefix}.bn.running_var"])}}
+    return params, stats
+
+
+def convert_egohmr(sd: Dict, num_gcn_layers: int = 4) -> Dict:
+    """EgoHMR `best_model_mpjpe_vis.pt` (`EgoHMR/models/egohmr/egohmr.py:36-`)
+    -> models/egohmr.py EgoHmr.init_params layout. smpl.* buffer keys must be
+    filtered by the caller (`mld.py:1199-1209` does the same)."""
+    gcn_params, gcn_stats = {}, {}
+    p, s = _gcn_block(sd, "diffusion_model.gconv_input.0")
+    gcn_params["gconv_input"], gcn_stats["gconv_input"] = p, s
+    for i in range(num_gcn_layers):
+        sub_p, sub_s = {}, {}
+        for j in (1, 2):
+            p, s = _gcn_block(sd, f"diffusion_model.gconv_layers.{i}.gconv{j}")
+            sub_p[f"gconv{j}"], sub_s[f"gconv{j}"] = p, s
+        gcn_params[f"res_{i}"], gcn_stats[f"res_{i}"] = sub_p, sub_s
+    gcn_params["gconv_output"] = _modulated_gconv(sd, "diffusion_model.gconv_output")
+
+    return {
+        "backbone": convert_resnet50(sd, "backbone"),
+        "scene_enc": convert_pointnet(
+            {k[len("scene_enc."):]: v for k, v in sd.items()
+             if k.startswith("scene_enc.")}
+        ),
+        "transl_enc": {"params": {
+            "fc1": convert_linear(sd, "transl_enc.layers.0"),
+            "fc2": convert_linear(sd, "transl_enc.layers.2"),
+        }},
+        "timestep_embedder": {"params": {
+            "linear_1": convert_linear(sd, "embed_timestep.time_embed.0"),
+            "linear_2": convert_linear(sd, "embed_timestep.time_embed.2"),
+        }},
+        "input_process": {"params": convert_linear(sd, "input_process.poseEmbedding")},
+        "gcn": {"params": gcn_params, "batch_stats": gcn_stats},
+        "beta_layer": {"params": {
+            "fc1": convert_linear(sd, "beta_layer.layers.0"),
+            "fc2": convert_linear(sd, "beta_layer.layers.2"),
+        }},
+    }
+
+
 def convert_a2m_gru(sd: Dict) -> Dict:
     """action2motion GRU recognition model (`humanact12_gru.py:6-82`) ->
     eval/action_classifier.py MotionDiscriminator. torch stacked nn.GRU
@@ -448,8 +509,9 @@ def convert_t2m_movementencoder(sd: Dict) -> Dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
-                    choices=["mld", "prohmr", "t2m_text", "t2m_motion",
-                             "t2m_move", "a2m_gru", "uestc_stgcn"])
+                    choices=["mld", "prohmr", "egohmr", "t2m_text",
+                             "t2m_motion", "t2m_move", "a2m_gru",
+                             "uestc_stgcn"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--num_layers", type=int, default=5)
@@ -478,6 +540,10 @@ def main():
                 }
             },
         }
+    elif args.kind == "egohmr":
+        sd = {k: v for k, v in sd.items()
+              if not k.startswith(("smpl", "criterion"))}
+        params = convert_egohmr(sd)
     elif args.kind == "t2m_text":
         params = convert_t2m_textencoder(sd)
     elif args.kind == "t2m_motion":
