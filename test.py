@@ -53,10 +53,10 @@ def main():
     from seeme_tpu.config.loader import parse_dotted_overrides
 
     overrides = parse_dotted_overrides(args.opts)
-    if args.batch_size:
+    if args.batch_size is not None:
         overrides.setdefault("TEST", {})["BATCH_SIZE"] = args.batch_size
     cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
-    if args.replication_times:
+    if args.replication_times is not None:
         cfg["TEST"]["REPLICATION_TIMES"] = args.replication_times
 
     exp_dir = create_experiment_dir(cfg, phase="test")

@@ -64,12 +64,12 @@ def main():
     from seeme_tpu.config.loader import parse_dotted_overrides
 
     overrides = parse_dotted_overrides(args.opts)
-    if args.batch_size:
+    if args.batch_size is not None:
         overrides.setdefault("TRAIN", {})["BATCH_SIZE"] = args.batch_size
     cfg = load_config(args.cfg, args.cfg_assets, overrides=overrides)
     if args.nodebug:
         cfg["DEBUG"] = False
-    if args.epochs:
+    if args.epochs is not None:
         cfg["TRAIN"]["END_EPOCH"] = args.epochs
 
     exp_dir = create_experiment_dir(cfg)
