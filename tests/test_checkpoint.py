@@ -59,3 +59,31 @@ def test_state_roundtrip_and_resume_scan(tmp_path):
     )
     cfg_path, latest = resume_scan(str(tmp_path))
     assert latest == 42
+
+
+def test_restore_params_from_state_dir(tmp_path):
+    """restore_params accepts a CheckpointManager step dir (<step>/default
+    holding the full TrainState) and extracts the params subtrees."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from seeme_tpu.train.checkpoint import make_manager, restore_params, save_state
+    from seeme_tpu.train.state import TrainState
+
+    params = {"vae": {"w": jnp.arange(4.0)}, "denoiser": {"b": jnp.ones((2,))}}
+    opt = optax.sgd(1e-2)
+    state = TrainState(step=jnp.int32(3), params=params,
+                       opt_state=opt.init(params), rng=jax.random.PRNGKey(0))
+    mgr = make_manager(str(tmp_path))
+    save_state(mgr, state, 3)
+
+    template = {"vae": {"w": jnp.zeros(4)}, "denoiser": {"b": jnp.zeros(2)}}
+    out = restore_params(str(tmp_path / "checkpoints" / "3"), template)
+    np.testing.assert_allclose(np.asarray(out["vae"]["w"]), np.arange(4.0))
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        restore_params(str(tmp_path / "checkpoints" / "3"),
+                       {"missing_subtree": {"x": jnp.zeros(1)}})

@@ -1,6 +1,8 @@
 """Tool tests: render backend, SMPLify fitting convergence."""
 
 import os
+import subprocess
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,3 +39,25 @@ def test_smplify_fits_known_pose():
     )
     err = float(jnp.linalg.norm(fitted - target, axis=-1).mean())
     assert err < 0.03, err  # < 3cm mean joint error on the synthetic model
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_render_pairs_overlay(tmp_path):
+    """render.py --pairs renders pred_*.npy with the matching gt overlay and
+    degrades to pred-only when the gt file is absent."""
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        np.save(tmp_path / f"pred_{i}.npy", rng.randn(4, 24, 3).astype(np.float32) * 0.2)
+    np.save(tmp_path / "gt_0.npy", rng.randn(4, 24, 3).astype(np.float32) * 0.2)
+
+    result = subprocess.run(
+        [sys.executable, "render.py", "--dir", str(tmp_path), "--pairs",
+         "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "(+gt overlay)" in result.stdout
+    assert (tmp_path / "out" / "pred_0.gif").exists()
+    assert (tmp_path / "out" / "pred_1.gif").exists()
