@@ -105,7 +105,7 @@ class TextEncoderBiGRUCo(nn.Module):
         h0 = jnp.broadcast_to(hidden, (2, inputs.shape[0], self.hidden_size))
         h = BiGru(self.hidden_size, name="gru")(inputs, cap_lens, h0)
         h = nn.Dense(self.hidden_size, name="out_0")(h)
-        h = nn.LayerNorm(name="out_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="out_ln")(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.output_size, name="out_1")(h)
 
@@ -141,6 +141,6 @@ class MotionEncoderBiGRUCo(nn.Module):
         h0 = jnp.broadcast_to(hidden, (2, x.shape[0], self.hidden_size))
         h = BiGru(self.hidden_size, name="gru")(x, m_lens, h0)
         h = nn.Dense(self.hidden_size, name="out_0")(h)
-        h = nn.LayerNorm(name="out_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="out_ln")(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.output_size, name="out_1")(h)

@@ -42,7 +42,7 @@ class StylizationBlock(nn.Module):
             nn.silu(emb)
         )[:, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = nn.LayerNorm(name="norm")(h) * (1 + scale) + shift
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h) * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         # Zero-initialized so the block starts as identity in its residual.
@@ -69,8 +69,8 @@ class LinearTemporalCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        xfn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        xfn = nn.LayerNorm(epsilon=1e-5, name="text_norm")(xf)
         query = nn.Dense(D, kernel_init=xavier, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, kernel_init=xavier, name="key")(xfn).reshape(B, N, H, -1)
         value = nn.Dense(D, kernel_init=xavier, name="value")(xfn).reshape(B, N, H, -1)
@@ -96,7 +96,7 @@ class StylizedFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True):
         h = nn.Dense(self.ffn_dim, kernel_init=xavier, name="linear1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU() is the exact erf form
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.latent_dim, kernel_init=zeros_init, name="linear2")(h)
         return x + StylizationBlock(self.latent_dim, self.time_embed_dim, self.dropout, name="proj_out")(

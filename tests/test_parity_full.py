@@ -1,0 +1,570 @@
+"""Full-model torch-replica golden tests.
+
+Per-module conversion parity lives in test_convert.py; these tests compose the
+*whole* reference forward passes as independent torch replicas, convert their
+state dicts through tools/convert_checkpoint.py, and assert end-to-end forward
+parity. Until real checkpoints/datasets land, this is the strongest available
+evidence that converted reference checkpoints reproduce reference numerics.
+
+Replicated reference paths (behavior studied, not copied):
+  * MldVae.encode/decode — `mld/models/architectures/mld_vae.py:128-256`
+    (encoder_decoder arch, MLP_DIST=False, learned PE, post-norm U-skip).
+  * MldDenoiser.forward — `mld_denoiser.py:151-244`, both the MD_TRANS
+    stylization path (`mdiff_transformer.py:257-304`) and the plain
+    trans_enc path with emb_proj (text_encoded_dim != latent_dim).
+  * SMPLFlow log_prob / forward — `EgoHMR/models/prohmr/smpl_flow.py:36-120`
+    over nflows ConditionalGlow (`nflows/nflows/flows/glow.py:15-64`) +
+    FCHead (`fc_head.py:7-52`), i.e. the flow head of
+    ProHMRScene.forward_step (`prohmr_scene.py:140-170`).
+"""
+
+import math
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+sys.path.insert(0, "tools")
+from convert_checkpoint import (  # noqa: E402
+    convert_glow,
+    convert_linear,
+    convert_mld_checkpoint,
+)
+
+from seeme_tpu.flows.glow import (  # noqa: E402
+    GlowConfig,
+    glow_log_prob,
+    glow_sample_and_log_prob,
+)
+from seeme_tpu.models.denoiser import Denoiser  # noqa: E402
+from seeme_tpu.models.prohmr import FCHead  # noqa: E402
+from seeme_tpu.models.vae import MotionVae  # noqa: E402
+
+torch.manual_seed(0)
+
+
+# --------------------------------------------------------------------------
+# torch replicas of the DETR stack (`cross_attention.py:258-433`, post-norm)
+# --------------------------------------------------------------------------
+
+class TEncoderLayer(tnn.Module):
+    def __init__(self, d, heads, ff, act=F.gelu):
+        super().__init__()
+        self.self_attn = tnn.MultiheadAttention(d, heads, dropout=0.0)
+        self.linear1 = tnn.Linear(d, ff)
+        self.linear2 = tnn.Linear(ff, d)
+        self.norm1 = tnn.LayerNorm(d)
+        self.norm2 = tnn.LayerNorm(d)
+        self.act = act
+
+    def forward(self, src, src_key_padding_mask=None):
+        a = self.self_attn(src, src, src,
+                           key_padding_mask=src_key_padding_mask)[0]
+        src = self.norm1(src + a)
+        h = self.linear2(self.act(self.linear1(src)))
+        return self.norm2(src + h)
+
+
+class TDecoderLayer(tnn.Module):
+    def __init__(self, d, heads, ff):
+        super().__init__()
+        self.self_attn = tnn.MultiheadAttention(d, heads, dropout=0.0)
+        self.multihead_attn = tnn.MultiheadAttention(d, heads, dropout=0.0)
+        self.linear1 = tnn.Linear(d, ff)
+        self.linear2 = tnn.Linear(ff, d)
+        self.norm1 = tnn.LayerNorm(d)
+        self.norm2 = tnn.LayerNorm(d)
+        self.norm3 = tnn.LayerNorm(d)
+
+    def forward(self, tgt, memory, tgt_key_padding_mask=None):
+        a = self.self_attn(tgt, tgt, tgt,
+                           key_padding_mask=tgt_key_padding_mask)[0]
+        tgt = self.norm1(tgt + a)
+        a = self.multihead_attn(tgt, memory, memory)[0]
+        tgt = self.norm2(tgt + a)
+        h = self.linear2(F.gelu(self.linear1(tgt)))
+        return self.norm3(tgt + h)
+
+
+class TSkipStack(tnn.Module):
+    """U-skip stack; attribute names match the reference so the converted
+    state-dict keys line up (`input_blocks`/`middle_block`/`output_blocks`/
+    `linear_blocks`/`norm`)."""
+
+    def __init__(self, make_layer, num_layers, d):
+        super().__init__()
+        n = (num_layers - 1) // 2
+        self.input_blocks = tnn.ModuleList([make_layer() for _ in range(n)])
+        self.middle_block = make_layer()
+        self.output_blocks = tnn.ModuleList([make_layer() for _ in range(n)])
+        self.linear_blocks = tnn.ModuleList(
+            [tnn.Linear(2 * d, d) for _ in range(n)])
+        self.norm = tnn.LayerNorm(d)
+
+    def forward(self, x, *args, **kw):
+        skips = []
+        for blk in self.input_blocks:
+            x = blk(x, *args, **kw)
+            skips.append(x)
+        x = self.middle_block(x, *args, **kw)
+        for blk, lin in zip(self.output_blocks, self.linear_blocks):
+            x = lin(torch.cat([x, skips.pop()], dim=-1))
+            x = blk(x, *args, **kw)
+        return self.norm(x)
+
+
+class TLearnedPE(tnn.Module):
+    def __init__(self, d, max_len=500):  # reference max_len (`position_encoding.py:140`)
+        super().__init__()
+        self.pe = tnn.Parameter(torch.rand(max_len, 1, d))
+
+    def forward(self, x):  # seq-first
+        return x + self.pe[: x.shape[0]]
+
+
+class TVae(tnn.Module):
+    """MldVae replica: encoder_decoder arch, mlp_dist=False
+    (`mld_vae.py:33-256`); seq-first like torch."""
+
+    def __init__(self, nfeats, latent_size, d, heads, ff, num_layers):
+        super().__init__()
+        self.latent_size, self.d = latent_size, d
+        self.skel_embedding = tnn.Linear(nfeats, d)
+        self.final_layer = tnn.Linear(d, nfeats)
+        self.global_motion_token = tnn.Parameter(
+            torch.randn(latent_size * 2, d))
+        self.query_pos_encoder = TLearnedPE(d)
+        self.query_pos_decoder = TLearnedPE(d)
+        self.encoder = TSkipStack(
+            lambda: TEncoderLayer(d, heads, ff), num_layers, d)
+        self.decoder = TSkipStack(
+            lambda: TDecoderLayer(d, heads, ff), num_layers, d)
+
+    def encode(self, features, mask):
+        B = features.shape[0]
+        x = self.skel_embedding(features).permute(1, 0, 2)
+        dist = self.global_motion_token[:, None, :].expand(-1, B, -1)
+        aug = torch.cat(
+            [torch.ones(B, dist.shape[0], dtype=torch.bool), mask], dim=1)
+        xseq = self.query_pos_encoder(torch.cat([dist, x], dim=0))
+        out = self.encoder(xseq, src_key_padding_mask=~aug)[: dist.shape[0]]
+        return out[: self.latent_size], out[self.latent_size:]
+
+    def decode(self, z, mask):
+        B, T = mask.shape
+        queries = self.query_pos_decoder(torch.zeros(T, B, self.d))
+        out = self.decoder(queries, z, tgt_key_padding_mask=~mask)
+        return self.final_layer(out).permute(1, 0, 2)
+
+
+def test_mld_vae_full_forward_parity():
+    nfeats, latent_size, d, heads, ff, L = 9, 2, 32, 2, 48, 3
+    tvae = TVae(nfeats, latent_size, d, heads, ff, L).eval()
+
+    B, T = 3, 8
+    feats = torch.randn(B, T, nfeats)
+    lengths = torch.tensor([8, 5, 3])
+    mask = torch.arange(T)[None] < lengths[:, None]
+    with torch.no_grad():
+        mu_t, logvar_t = tvae.encode(feats, mask)
+        rst_t = tvae.decode(mu_t, mask)
+
+    sd = {f"vae.{k}": v for k, v in tvae.state_dict().items()}
+    params = convert_mld_checkpoint(sd, num_layers=L)["vae"]
+
+    m = MotionVae(nfeats=nfeats, latent_dim=(latent_size, d), ff_size=ff,
+                  num_layers=L, num_heads=heads)
+    mu_j, logvar_j = m.apply(
+        params, jnp.asarray(feats.numpy()), jnp.asarray(lengths.numpy()),
+        method="encode")
+    np.testing.assert_allclose(
+        np.asarray(mu_j), mu_t.permute(1, 0, 2).numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(logvar_j), logvar_t.permute(1, 0, 2).numpy(), atol=1e-4)
+
+    rst_j = m.apply(params, mu_j, T, jnp.asarray(lengths.numpy()),
+                    method="decode")
+    np.testing.assert_allclose(np.asarray(rst_j), rst_t.numpy(), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# torch replica of the MD_TRANS denoiser (`mld_denoiser.py` +
+# `mdiff_transformer.py:137-304`)
+# --------------------------------------------------------------------------
+
+class TStylization(tnn.Module):
+    def __init__(self, d, time_dim):
+        super().__init__()
+        self.emb_layers = tnn.Sequential(tnn.SiLU(), tnn.Linear(time_dim, 2 * d))
+        self.norm = tnn.LayerNorm(d)
+        self.out_layers = tnn.Sequential(
+            tnn.SiLU(), tnn.Dropout(0.0), tnn.Linear(d, d))
+
+    def forward(self, h, emb):
+        scale, shift = torch.chunk(self.emb_layers(emb).unsqueeze(1), 2, dim=2)
+        h = self.norm(h) * (1 + scale) + shift
+        return self.out_layers(h)
+
+
+class TLinearCrossAttn(tnn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.num_head = heads
+        self.norm = tnn.LayerNorm(d)
+        self.text_norm = tnn.LayerNorm(d)
+        self.query = tnn.Linear(d, d)
+        self.key = tnn.Linear(d, d)
+        self.value = tnn.Linear(d, d)
+        self.proj_out = TStylization(d, d)
+
+    def forward(self, x, xf, emb):
+        B, T, D = x.shape
+        N, H = xf.shape[1], self.num_head
+        q = F.softmax(self.query(self.norm(x)).view(B, T, H, -1), dim=-1)
+        k = F.softmax(self.key(self.text_norm(xf)).view(B, N, H, -1), dim=1)
+        v = self.value(self.text_norm(xf)).view(B, N, H, -1)
+        att = torch.einsum("bnhd,bnhl->bhdl", k, v)
+        y = torch.einsum("bnhd,bhdl->bnhl", q, att).reshape(B, T, D)
+        return x + self.proj_out(y, emb)
+
+
+class TStyledFFN(tnn.Module):
+    def __init__(self, d, ff):
+        super().__init__()
+        self.linear1 = tnn.Linear(d, ff)
+        self.linear2 = tnn.Linear(ff, d)
+        self.proj_out = TStylization(d, d)
+
+    def forward(self, x, emb):
+        y = self.linear2(F.gelu(self.linear1(x)))
+        return x + self.proj_out(y, emb)
+
+
+class TMdLayer(tnn.Module):
+    """`LinearTemporalDiffusionTransformerDecoderLayer` with
+    use_MLD_Transformer=True; operates seq-first like the skip stack."""
+
+    def __init__(self, d, heads, ff):
+        super().__init__()
+        self.sa_block = TEncoderLayer(d, heads, 1024, act=F.relu)
+        self.ca_block = TLinearCrossAttn(d, heads)
+        self.ffn = TStyledFFN(d, ff)
+
+    def forward(self, x, xf=None, emb=None):
+        T = x.shape[0]
+        seq = self.sa_block(torch.cat([x, xf, emb], dim=0))
+        xb = seq[:T].permute(1, 0, 2)
+        emb_vec = emb[0]
+        xb = self.ca_block(xb, xf.permute(1, 0, 2), emb_vec)
+        xb = self.ffn(xb, emb_vec)
+        return xb.permute(1, 0, 2)
+
+
+def _t_timestep_embedding(timesteps, dim):
+    """diffusers get_timestep_embedding, flip_sin_to_cos=True, shift=0."""
+    half = dim // 2
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+    emb = timesteps.float()[:, None] * freqs[None]
+    emb = torch.cat([emb.sin(), emb.cos()], dim=-1)
+    return torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+
+
+class TTimestepEmbedding(tnn.Module):
+    def __init__(self, in_dim, d):
+        super().__init__()
+        self.linear_1 = tnn.Linear(in_dim, d)
+        self.linear_2 = tnn.Linear(d, d)
+
+    def forward(self, x):
+        return self.linear_2(F.silu(self.linear_1(x)))
+
+
+class TDenoiser(tnn.Module):
+    """MldDenoiser replica (`mld_denoiser.py:151-244`), trans_enc arch."""
+
+    def __init__(self, d, heads, ff, num_layers, md_trans, text_dim):
+        super().__init__()
+        self.md_trans, self.text_dim, self.d = md_trans, text_dim, d
+        self.time_embedding = TTimestepEmbedding(text_dim, d)
+        if text_dim != d:
+            self.emb_proj = tnn.Sequential(tnn.ReLU(), tnn.Linear(text_dim, d))
+        self.query_pos = TLearnedPE(d)
+        if md_trans:
+            make = lambda: TMdLayer(d, heads, ff)  # noqa: E731
+        else:
+            make = lambda: TEncoderLayer(d, heads, ff)  # noqa: E731
+        self.encoder = TSkipStack(make, num_layers, d)
+
+    def forward(self, sample, timestep, cond):
+        sample = sample.permute(1, 0, 2)  # (n_latent, B, D)
+        n_latent, B = sample.shape[:2]
+        t_emb = _t_timestep_embedding(timestep.expand(B), self.text_dim)
+        time_emb = self.time_embedding(t_emb).unsqueeze(0)
+        cond = cond.permute(1, 0, 2)
+        text_emb = self.emb_proj(cond) if self.text_dim != self.d else cond
+        if self.md_trans:
+            xseq = self.query_pos(sample)
+            tokens = self.encoder(xseq, xf=text_emb, emb=time_emb)
+        else:
+            xseq = self.query_pos(torch.cat([sample, time_emb, text_emb], 0))
+            tokens = self.encoder(xseq)
+        return tokens[:n_latent].permute(1, 0, 2)
+
+
+@pytest.mark.parametrize("md_trans,text_dim", [(True, 32), (False, 16)])
+def test_mld_denoiser_full_forward_parity(md_trans, text_dim):
+    d, heads, ff, L = 32, 2, 48, 3
+    tden = TDenoiser(d, heads, ff, L, md_trans, text_dim).eval()
+    # the zero_module()-initialized linears would mask conversion bugs —
+    # randomize them so every converted weight participates
+    with torch.no_grad():
+        for name, p in tden.named_parameters():
+            if p.abs().max() == 0:
+                p.normal_(0, 0.05)
+
+    B, n_latent, n_cond = 3, 2, 3
+    sample = torch.randn(B, n_latent, d)
+    cond = torch.randn(B, n_cond, text_dim)
+    t = torch.tensor(517)
+    with torch.no_grad():
+        ref = tden(sample, t, cond)
+
+    sd = {f"denoiser.{k}": v for k, v in tden.state_dict().items()}
+    params = convert_mld_checkpoint(sd, num_layers=L, md_trans=md_trans)[
+        "denoiser"]
+
+    m = Denoiser(latent_dim=(n_latent, d), ff_size=ff, num_layers=L,
+                 num_heads=heads, text_encoded_dim=text_dim,
+                 md_trans=md_trans)
+    out = m.apply(params, jnp.asarray(sample.numpy()),
+                  jnp.full((B,), 517, jnp.int32), jnp.asarray(cond.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# torch replica of SMPLFlow over nflows ConditionalGlow
+# --------------------------------------------------------------------------
+
+class TActNorm(tnn.Module):
+    def __init__(self, D):
+        super().__init__()
+        self.register_buffer("initialized", torch.tensor(True))
+        self.log_scale = tnn.Parameter(torch.randn(D) * 0.1)
+        self.shift = tnn.Parameter(torch.randn(D) * 0.1)
+
+    def forward(self, x):
+        out = torch.exp(self.log_scale) * x + self.shift
+        return out, self.log_scale.sum().expand(x.shape[0])
+
+    def inverse(self, x):
+        out = (x - self.shift) / torch.exp(self.log_scale)
+        return out, -self.log_scale.sum().expand(x.shape[0])
+
+
+class TLULinear(tnn.Module):
+    def __init__(self, D, eps=1e-3):
+        super().__init__()
+        self.D, self.eps = D, eps
+        n_tri = (D - 1) * D // 2
+        self.lower_entries = tnn.Parameter(torch.randn(n_tri) * 0.1)
+        self.upper_entries = tnn.Parameter(torch.randn(n_tri) * 0.1)
+        self.unconstrained_upper_diag = tnn.Parameter(torch.randn(D) * 0.3)
+        self.bias = tnn.Parameter(torch.randn(D) * 0.1)
+
+    def _lu(self):
+        D = self.D
+        lower = torch.zeros(D, D)
+        lower[np.tril_indices(D, -1)] = self.lower_entries
+        lower = lower + torch.eye(D)
+        upper = torch.zeros(D, D)
+        upper[np.triu_indices(D, 1)] = self.upper_entries
+        upper = upper + torch.diag(
+            F.softplus(self.unconstrained_upper_diag) + self.eps)
+        return lower, upper
+
+    def _logdet(self):
+        return torch.log(
+            F.softplus(self.unconstrained_upper_diag) + self.eps).sum()
+
+    def forward(self, x):
+        lower, upper = self._lu()
+        out = F.linear(F.linear(x, upper), lower, self.bias)
+        return out, self._logdet().expand(x.shape[0])
+
+    def inverse(self, x):
+        lower, upper = self._lu()
+        out = torch.linalg.solve_triangular(
+            lower, (x - self.bias).t(), upper=False, unitriangular=True)
+        out = torch.linalg.solve_triangular(upper, out, upper=True).t()
+        return out, -self._logdet().expand(x.shape[0])
+
+
+class TResidualNet(tnn.Module):
+    """nflows ResidualNet with context concat at the input only
+    (`nn/nets/resnet.py:56-104`; blocks get context=None)."""
+
+    def __init__(self, in_f, out_f, h, ctx, n_blocks):
+        super().__init__()
+        self.initial_layer = tnn.Linear(in_f + ctx, h)
+
+        def block():
+            m = tnn.Module()
+            m.linear_layers = tnn.ModuleList([tnn.Linear(h, h) for _ in range(2)])
+            m.batch_norm_layers = tnn.ModuleList(
+                [tnn.BatchNorm1d(h) for _ in range(2)])
+            return m
+
+        self.blocks = tnn.ModuleList([block() for _ in range(n_blocks)])
+        self.final_layer = tnn.Linear(h, out_f)
+
+    def forward(self, x, context):
+        h = self.initial_layer(torch.cat([x, context], dim=1))
+        for b in self.blocks:
+            t = b.batch_norm_layers[0](h)
+            t = b.linear_layers[0](F.relu(t))
+            t = b.batch_norm_layers[1](t)
+            t = b.linear_layers[1](F.relu(t))
+            h = h + t
+        return self.final_layer(h)
+
+
+class TAdditiveCoupling(tnn.Module):
+    def __init__(self, mask, h, ctx, n_blocks):
+        super().__init__()
+        self.register_buffer("id_idx", torch.nonzero(mask <= 0)[:, 0])
+        self.register_buffer("tr_idx", torch.nonzero(mask > 0)[:, 0])
+        self.transform_net = TResidualNet(
+            len(self.id_idx), len(self.tr_idx), h, ctx, n_blocks)
+
+    def forward(self, x, context):
+        shift = self.transform_net(x[:, self.id_idx], context)
+        out = x.clone()
+        out[:, self.tr_idx] = x[:, self.tr_idx] + shift
+        return out, torch.zeros(x.shape[0])
+
+    def inverse(self, x, context):
+        shift = self.transform_net(x[:, self.id_idx], context)
+        out = x.clone()
+        out[:, self.tr_idx] = x[:, self.tr_idx] - shift
+        return out, torch.zeros(x.shape[0])
+
+
+class TGlow(tnn.Module):
+    """ConditionalGlow replica; `_transform._transforms` naming matches
+    nflows so convert_glow key paths line up."""
+
+    def __init__(self, D, h, num_layers, depth, ctx):
+        super().__init__()
+        self.D = D
+        mask = torch.ones(D)
+        mask[::2] = -1
+        transforms = []
+        for _ in range(num_layers):
+            transforms += [TActNorm(D), TLULinear(D),
+                           TAdditiveCoupling(mask, h, ctx, depth)]
+            mask = -mask
+        self._transform = tnn.Module()
+        self._transform._transforms = tnn.ModuleList(transforms)
+
+    def log_prob(self, x, context):
+        total = torch.zeros(x.shape[0])
+        for tr in self._transform._transforms:
+            if isinstance(tr, TAdditiveCoupling):
+                x, ld = tr(x, context)
+            else:
+                x, ld = tr(x)
+            total = total + ld
+        base = -0.5 * (x * x).sum(-1) - 0.5 * self.D * math.log(2 * math.pi)
+        return base + total, x
+
+    def sample_with_noise(self, noise, context):
+        x = noise
+        total = torch.zeros(x.shape[0])
+        for tr in reversed(self._transform._transforms):
+            if isinstance(tr, TAdditiveCoupling):
+                x, ld = tr.inverse(x, context)
+            else:
+                x, ld = tr.inverse(x)
+            total = total + ld
+        base = -0.5 * (noise * noise).sum(-1) - 0.5 * self.D * math.log(2 * math.pi)
+        return x, base - total
+
+
+class TSMPLFlowHead(tnn.Module):
+    def __init__(self, D, h, num_layers, depth, ctx, fc_features):
+        super().__init__()
+        self.flow = TGlow(D, h, num_layers, depth, ctx)
+        self.fc_head = tnn.Module()
+        self.fc_head.layers = tnn.Sequential(
+            tnn.Linear(ctx, fc_features), tnn.ReLU(),
+            tnn.Linear(fc_features, 13))
+
+
+def _perturb_bn_stats(module):
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, tnn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+
+def test_smplflow_head_parity():
+    """Composed ConditionalGlow + FCHead parity: log_prob on GT poses, the
+    z=0 mode sample, random-noise samples, and betas/cam offsets — the full
+    flow head of `prohmr_scene.py:140-170`."""
+    D, h, num_layers, depth, ctx, fc = 12, 24, 3, 2, 7, 16
+    tm = TSMPLFlowHead(D, h, num_layers, depth, ctx, fc).eval()
+    _perturb_bn_stats(tm)
+
+    B, S = 4, 3
+    rng = np.random.RandomState(0)
+    pose = torch.tensor(rng.randn(B, D).astype(np.float32))
+    context = torch.tensor(rng.randn(B, ctx).astype(np.float32))
+    noise = torch.tensor(rng.randn(B, S, D).astype(np.float32))
+
+    with torch.no_grad():
+        lp_t, z_t = tm.flow.log_prob(pose, context)
+        ctx_rep = context.repeat_interleave(S, dim=0)
+        samp_t, slp_t = tm.flow.sample_with_noise(
+            noise.reshape(B * S, D), ctx_rep)
+        offset_t = tm.fc_head.layers(context)
+
+    sd = {f"flow.{k}": v for k, v in tm.state_dict().items()}
+    cfg = GlowConfig(features=D, hidden_features=h, num_layers=num_layers,
+                     num_blocks_per_layer=depth, context_features=ctx)
+    flow_params = convert_glow(sd, "flow.flow", num_layers=num_layers,
+                               depth=depth)
+
+    lp_j, z_j = glow_log_prob(flow_params, cfg, jnp.asarray(pose.numpy()),
+                              jnp.asarray(context.numpy()))
+    np.testing.assert_allclose(np.asarray(lp_j), lp_t.numpy(),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(), atol=1e-4)
+
+    samp_j, slp_j, _ = glow_sample_and_log_prob(
+        flow_params, cfg, S, jnp.asarray(context.numpy()),
+        noise=jnp.asarray(noise.numpy()))
+    np.testing.assert_allclose(np.asarray(samp_j), samp_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(slp_j), slp_t.numpy(),
+                               rtol=1e-5, atol=1e-4)
+
+    # z=0 mode sample (`prohmr_scene.py:146-161`)
+    z0 = torch.zeros(B, 1, D)
+    with torch.no_grad():
+        mode_t, _ = tm.flow.sample_with_noise(z0.reshape(B, D), context)
+    mode_j, _, _ = glow_sample_and_log_prob(
+        flow_params, cfg, 1, jnp.asarray(context.numpy()),
+        noise=jnp.zeros((B, 1, D)))
+    np.testing.assert_allclose(np.asarray(mode_j), mode_t.numpy(), atol=1e-4)
+
+    # FCHead betas/cam offsets
+    fc_params = {"params": {
+        "fc1": convert_linear(sd, "flow.fc_head.layers.0"),
+        "fc2": convert_linear(sd, "flow.fc_head.layers.2"),
+    }}
+    off_j = FCHead(fc).apply(fc_params, jnp.asarray(context.numpy()))
+    np.testing.assert_allclose(np.asarray(off_j), offset_t.numpy(), atol=1e-5)

@@ -180,10 +180,11 @@ def convert_mld_checkpoint(state_dict: Dict, num_layers: int = 5,
     sd = {k: v for k, v in state_dict.items() if not k.startswith(("smpl_model.", "text_encoder."))}
     vae_sd = {k[len("vae."):]: v for k, v in sd.items() if k.startswith("vae.")}
     den_sd = {k[len("denoiser."):]: v for k, v in sd.items() if k.startswith("denoiser.")}
-    out = {
-        "vae": convert_motion_vae(vae_sd, num_layers),
-        "denoiser": convert_denoiser(den_sd, num_layers, md_trans),
-    }
+    out = {}
+    if vae_sd:  # stage-1 checkpoints are VAE-only
+        out["vae"] = convert_motion_vae(vae_sd, num_layers)
+    if den_sd:
+        out["denoiser"] = convert_denoiser(den_sd, num_layers, md_trans)
     if "output_scene.1.weight" in sd:
         out["output_scene"] = {"params": {"linear": convert_linear(sd, "output_scene.1")}}
     if "output_images.1.weight" in sd:
@@ -228,6 +229,11 @@ def convert_pointnet(sd: Dict) -> Dict:
     return {"params": params}
 
 
+def _linear_wb(sd: Dict, prefix: str) -> Dict:
+    """torch Linear -> the {w: (out, in), b} layout flows/glow.py consumes."""
+    return {"w": _t(sd[f"{prefix}.weight"]), "b": _t(sd[f"{prefix}.bias"])}
+
+
 def convert_glow(sd: Dict, prefix: str, num_layers: int, depth: int,
                  use_batch_norm: bool = True) -> Dict:
     """nflows ConditionalGlow -> flows/glow.py params. Transform indices:
@@ -239,14 +245,14 @@ def convert_glow(sd: Dict, prefix: str, num_layers: int, depth: int,
         lu = f"{prefix}._transform._transforms.{3 * i + 1}"
         cp = f"{prefix}._transform._transforms.{3 * i + 2}.transform_net"
         resnet: Dict = {
-            "initial": convert_linear(sd, f"{cp}.initial_layer"),
-            "final": convert_linear(sd, f"{cp}.final_layer"),
+            "initial": _linear_wb(sd, f"{cp}.initial_layer"),
+            "final": _linear_wb(sd, f"{cp}.final_layer"),
             "blocks": [],
         }
         for j in range(depth):
             block = {
-                "linear0": convert_linear(sd, f"{cp}.blocks.{j}.linear_layers.0"),
-                "linear1": convert_linear(sd, f"{cp}.blocks.{j}.linear_layers.1"),
+                "linear0": _linear_wb(sd, f"{cp}.blocks.{j}.linear_layers.0"),
+                "linear1": _linear_wb(sd, f"{cp}.blocks.{j}.linear_layers.1"),
             }
             if use_batch_norm:
                 for k in (0, 1):
