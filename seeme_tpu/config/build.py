@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import os
+from dataclasses import replace
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -50,6 +51,7 @@ def seeme_config_from_yaml(cfg: Config) -> SeeMeConfig:
         eta=float(sched.get("eta", 0.0)),
         scene_points=int(model.get("scene_points", 20000)),
         scene_feat_dim=int(model.get("scene_feat_dim", 512)),
+        use_fused=bool(model.get("use_fused", True)),
         loss=loss_weights_from_config(cfg),
     )
 
@@ -64,7 +66,7 @@ def load_smpl_or_synthetic(cfg: Config) -> SmplModel:
     return synthetic_smpl(n_verts=6890)
 
 
-def build_t2m_system(cfg: Config, datamodule):
+def build_t2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
     """Text-to-motion system for humanml3d/kit configs."""
     from ..models.t2m import T2MConfig, T2MSystem
     from ..models.text_encoder import ClipTextEncoder
@@ -91,6 +93,8 @@ def build_t2m_system(cfg: Config, datamodule):
         lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
         lambda_joint=float(loss.get("LAMBDA_JOINT", 1.0)),
     )
+    if use_fused is not None:
+        t2m_cfg = replace(t2m_cfg, use_fused=use_fused)
     text_encoder = ClipTextEncoder(
         cfg.select("model.clip_path", None), latent_dim=t2m_cfg.text_encoded_dim
     )
@@ -131,8 +135,11 @@ def build_system(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     smpl: Optional[SmplModel] = None,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[SeeMeSystem, SeeMeConfig]:
     sys_cfg = seeme_config_from_yaml(cfg)
+    if use_fused is not None:
+        sys_cfg = replace(sys_cfg, use_fused=use_fused)
     if smpl is None:
         smpl = load_smpl_or_synthetic(cfg)
     if mean is None:

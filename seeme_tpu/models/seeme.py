@@ -67,6 +67,11 @@ class SeeMeConfig:
     eta: float = 0.0
     scene_points: int = 20000
     scene_feat_dim: int = 512
+    # Allow the fused bf16 Pallas reverse-process kernel on TPU. The fused
+    # kernel deviates ~0.8% in latent space from the bit-faithful XLA scan
+    # (ops/denoiser_fused.py docstring); test.py disables it by default so
+    # parity evals run the exact path (opt in via TEST.USE_FUSED=true).
+    use_fused: bool = True
     loss: LossWeights = field(default_factory=LossWeights)
 
     @property
@@ -251,6 +256,44 @@ class SeeMeSystem:
         joints = smpl_joints24(self.smpl, betas_flat, pose, glob, trans)
         return joints.reshape(B, T, 24, 3)
 
+    def feats_to_vertices(self, feats_raw: jnp.ndarray, betas: jnp.ndarray,
+                          transl: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Renormalized (B, T, nfeats) features -> (B, T, V, 3) SMPL mesh
+        vertices via the full LBS forward (`smpl_forward`); the mesh-render
+        path (reference `fit.py` -> `*_mesh.npy` -> `render.py`). Same feature
+        unpacking as `feats_to_joints`; only where vertices are needed."""
+        from ..core.smpl import smpl_forward
+
+        cfg = self.cfg
+        B, T, _ = feats_raw.shape
+        if cfg.data_type == "rot6d":
+            from ..core.rotations import rot6d_to_rotmat
+
+            rotmats = rot6d_to_rotmat(
+                feats_raw.reshape(B * T, 24, 6), mode="diffusion"
+            )
+            out = smpl_forward(
+                self.smpl, jnp.zeros((B * T, 10), feats_raw.dtype),
+                rotmats[:, 1:], rotmats[:, :1], pose2rot=False,
+            )
+            return out["vertices"].reshape(B, T, -1, 3)
+        pose = feats_raw[..., 3 : cfg.pose_feats].reshape(B * T, -1)
+        if cfg.dataset_name == "gimo":
+            pose = jnp.concatenate([pose, jnp.zeros((B * T, 6), pose.dtype)], axis=-1)
+        glob = feats_raw[..., :3].reshape(B * T, 3)
+        if cfg.predict_transl:
+            trans = feats_raw[..., -3:].reshape(B * T, 3)
+        else:
+            assert transl is not None
+            P = cfg.pose_feats
+            if self.std_full.shape[0] >= P + 3:
+                transl = transl * self.std_full[P : P + 3] + self.mean_full[P : P + 3]
+            trans = transl.reshape(B * T, 3)
+        out = smpl_forward(
+            self.smpl, betas.reshape(B * T, -1), pose, glob, trans
+        )
+        return out["vertices"].reshape(B, T, -1, 3)
+
     def encode_scene(self, params: Dict, scene: jnp.ndarray) -> jnp.ndarray:
         """(B, N, 3) point cloud -> (B, 1, d) condition token
         (`mld.py:911-922`: frozen PointNet then trainable projection).
@@ -400,7 +443,8 @@ class SeeMeSystem:
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[-1])
         if (
-            jax.default_backend() != "cpu"
+            cfg.use_fused
+            and jax.default_backend() != "cpu"
             and cfg.guidance_scale <= 1.0
             and cfg.eta == 0.0
             and cfg.md_trans

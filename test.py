@@ -68,13 +68,21 @@ def main():
     if is_t2m:
         from seeme_tpu.config.build import build_t2m_system
 
-        system, sys_cfg = build_t2m_system(cfg, datamodule)
+        system, sys_cfg = build_t2m_system(
+            cfg, datamodule, use_fused=bool(cfg.select("TEST.USE_FUSED", False))
+        )
     elif is_a2m:
         from seeme_tpu.config.build import build_a2m_system
 
         system, sys_cfg = build_a2m_system(cfg, datamodule)
     else:
-        system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+        # parity evals run the bit-faithful XLA scan by default; the ~0.8%-
+        # deviating fused Pallas sampler is an explicit opt-in here (demo.py
+        # and bench.py keep it on)
+        system, sys_cfg = build_system(
+            cfg, datamodule.mean, datamodule.std,
+            use_fused=bool(cfg.select("TEST.USE_FUSED", False)),
+        )
     params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
 
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
