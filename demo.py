@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--num_samples", type=int, default=4)
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--render", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="also export sample_{i}_mesh.npy SMPL vertex "
+                         "sequences (full LBS) for render.py --mesh")
     ap.add_argument("--example", default=None, help="text file with one caption per line")
     args = ap.parse_args()
 
@@ -54,6 +57,23 @@ def main():
         np.save(os.path.join(args.out, f"sample_{i}.npy"), joints[i])
         np.save(os.path.join(args.out, f"gt_{i}.npy"), joints_gt[i])
     print(f"saved {args.num_samples} samples to {args.out}/")
+
+    if args.mesh:
+        # full-LBS vertices for the mesh-render pipeline (the reference gets
+        # these via fit.py -> *_mesh.npy; the ego features ARE SMPL params,
+        # so vertices come straight from smpl_forward)
+        from seeme_tpu.models.seeme import WEARER
+
+        actor = WEARER if sys_cfg.estimate == "wearer" else 1 - WEARER
+        raw_rst = system.renorm(out["feats_rst"])
+        betas = batch["betas"][:, actor]
+        transl = None if sys_cfg.predict_transl else batch["transl"][:, actor]
+        verts = np.asarray(jax.jit(system.feats_to_vertices)(
+            raw_rst, betas, transl))
+        for i in range(args.num_samples):
+            np.save(os.path.join(args.out, f"sample_{i}_mesh.npy"), verts[i])
+        np.save(os.path.join(args.out, "faces.npy"), system.smpl.faces)
+        print(f"saved {args.num_samples} mesh npys (+faces.npy)")
 
     if args.render:
         from seeme_tpu.render.joints import render_joints_video

@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--smpl_path", default="./deps/smpl_models/smpl/SMPL_NEUTRAL.pkl")
     ap.add_argument("--out", default="fitted_smpl.npz")
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--save_mesh", default=None,
+                    help="also write a (T, V, 3) vertex npy of the fitted "
+                         "body (the reference's joints -> *_mesh.npy role) "
+                         "for render.py --mesh")
     args = ap.parse_args()
 
     import os
@@ -102,6 +106,18 @@ def main():
     params, terms = fit_smpl_to_joints(smpl, joints, num_steps=args.steps)
     np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})
     print(f"fitted {joints.shape[0]} frames -> {args.out}; final terms: {terms}")
+
+    if args.save_mesh:
+        from seeme_tpu.core.smpl import smpl_forward
+
+        fk = smpl_forward(
+            smpl, params["betas"], params["body_pose"],
+            params["global_orient"], params.get("transl"),
+        )
+        np.save(args.save_mesh, np.asarray(fk["vertices"]))
+        faces_path = os.path.splitext(args.save_mesh)[0] + "_faces.npy"
+        np.save(faces_path, smpl.faces)
+        print(f"wrote mesh {args.save_mesh} (+{faces_path})")
 
 
 if __name__ == "__main__":

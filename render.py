@@ -25,11 +25,24 @@ def main():
     ap.add_argument("--ext", default="gif", choices=["gif", "mp4"])
     ap.add_argument("--pairs", action="store_true",
                     help="in --dir, overlay pred_*.npy with matching gt_*.npy")
+    ap.add_argument("--mesh", action="store_true",
+                    help="render SMPL mesh videos (vertex npys, e.g. "
+                         "*_mesh.npy from demo.py --mesh or fit.py "
+                         "--save_mesh); auto-detected for (T, V>1000, 3)")
+    ap.add_argument("--faces", default=None,
+                    help="(F, 3) faces npy; defaults to the configured SMPL "
+                         "model's faces (synthetic strip if asset absent)")
+    ap.add_argument("--mode", default="video",
+                    choices=["video", "sequence", "frame"],
+                    help="mesh render mode (reference blender/render.py)")
+    ap.add_argument("--gt", action="store_true",
+                    help="use the ground-truth (green) mesh material")
     args = ap.parse_args()
 
     import numpy as np
 
     from seeme_tpu.render.joints import blender_available, render_joints_video
+    from seeme_tpu.render.mesh import mesh_detect, render_mesh
 
     files = []
     if args.npy:
@@ -42,7 +55,16 @@ def main():
                  (" (no pred_*.npy found)" if args.pairs else ""))
 
     if blender_available():
-        print("bpy detected — mesh rendering available (not used for joints)")
+        print("bpy detected — Blender mesh backend active")
+
+    faces = None
+    if args.faces:
+        faces = np.load(args.faces)
+
+    def smpl_faces():
+        from seeme_tpu.core.smpl import synthetic_smpl
+        m = synthetic_smpl(n_verts=6890)
+        return m.faces
 
     os.makedirs(args.out, exist_ok=True)
     def load(path):
@@ -53,6 +75,17 @@ def main():
 
     for f in files:
         data = load(f)
+        name = os.path.splitext(os.path.basename(f))[0]
+        if args.mesh or mesh_detect(data):
+            fc = faces if faces is not None else smpl_faces()
+            if fc.max() >= data.shape[1]:
+                ap.error(f"faces index up to {fc.max()} but {f} has only "
+                         f"{data.shape[1]} vertices — pass a matching --faces")
+            out = os.path.join(args.out, f"{name}.{args.ext}")
+            written = render_mesh(data, fc, out, mode=args.mode,
+                                  fps=args.fps, gt=args.gt, title=name)
+            print(f"rendered mesh {f} -> {written}")
+            continue
         gt = None
         if args.pairs:
             gt_path = os.path.join(
@@ -60,7 +93,6 @@ def main():
             )
             if os.path.exists(gt_path):
                 gt = load(gt_path)
-        name = os.path.splitext(os.path.basename(f))[0]
         out = os.path.join(args.out, f"{name}.{args.ext}")
         written = render_joints_video(data, out, fps=args.fps, title=name,
                                       gt_joints=gt)

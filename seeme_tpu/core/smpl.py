@@ -187,6 +187,12 @@ def synthetic_smpl(n_verts: int = 256, seed: int = 0, dtype=jnp.float32) -> Smpl
     lbs = np.abs(rng.randn(n_verts, NUM_JOINTS).astype(np.float32)) ** 4
     lbs /= lbs.sum(axis=1, keepdims=True)
     extra = rng.choice(n_verts, size=21, replace=False).astype(np.int32)
+    # A valid (if unaesthetic) triangulation so mesh rendering is exercisable
+    # without the real SMPL asset (real faces come from the pkl's 'f' field).
+    faces = np.stack(
+        [np.arange(n_verts - 2), np.arange(1, n_verts - 1), np.arange(2, n_verts)],
+        axis=1,
+    ).astype(np.int64)
     return SmplModel(
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
@@ -194,7 +200,7 @@ def synthetic_smpl(n_verts: int = 256, seed: int = 0, dtype=jnp.float32) -> Smpl
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs, dtype),
         parents=jnp.asarray(PARENTS),
-        faces=None,
+        faces=faces,
         extra_joint_ids=jnp.asarray(extra),
     )
 
