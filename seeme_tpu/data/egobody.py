@@ -12,6 +12,12 @@ Split files: {root}/processed/{split}.npz with keys
   feats (N, T, 2, P) float32 normalized | transl (N, 2, T, 3) normalized |
   betas (N, 2, T, 10) | cam (N, T, 6) | length (N,) int32 |
   scene (N, n_pts, 3) [optional]
+plus condition-variant keys the preprocessor can add (all optional):
+  egoego_transl (N, T, 3) / egoego_orient (N, T, 3) — EgoEgo-predicted wearer
+    root (`dataset.py:1225-1228, 1343-1367`), passed through verbatim;
+  image_crops (N, K, 224, 224, 3) uint8 — K crops per window; one is sampled
+    per batch draw and ImageNet-normalized into batch["image"], replicating
+    the reference's random per-item crop pick (`dataset.py:1659-1660`).
 plus {root}/processed/mean.npy / std.npy over the (P+3)-dim feature vector
 (same contract as `our_process_smpl_split_NEW/{mean,std}.npy`,
 `mld/data/EgoBody.py:124-131`).
@@ -66,6 +72,24 @@ class EgoBodyDataModule:
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
         stop = (n // batch_size) * batch_size if drop_last else n
+        rng = np.random.RandomState(seed + 1)
         for i in range(0, stop, batch_size):
             sel = idx[i : i + batch_size]
-            yield {k: v[sel] for k, v in data.items()}
+            batch = {k: v[sel] for k, v in data.items() if k != "image_crops"}
+            if "image_crops" in data:
+                crops = data["image_crops"][sel]  # (B, K, 224, 224, 3) uint8
+                pick = rng.randint(0, crops.shape[1], size=len(sel))
+                batch["image"] = imagenet_normalize(
+                    crops[np.arange(len(sel)), pick])
+            yield batch
+
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def imagenet_normalize(crops_uint8: np.ndarray) -> np.ndarray:
+    """(..., H, W, 3) uint8 RGB -> ImageNet-normalized float32
+    (`dataset.py:1697-1706`)."""
+    x = crops_uint8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD

@@ -108,3 +108,90 @@ def test_preprocess_rot6d(tmp_path):
     blocks = f.reshape(24, 3, 2)
     for b in blocks:
         np.testing.assert_allclose(b.T @ b, np.eye(2), atol=1e-4)
+
+
+def test_preprocess_condition_variants(tmp_path):
+    """EgoHMR predicted-interactee, EgoEgo wearer root, and image-crop
+    variants (`dataset.py:1215-1228, 1300-1367, 1657-1745`) flow through the
+    preprocessor into optional npz keys and the datamodule batch."""
+    import pickle
+
+    from PIL import Image
+
+    root = tmp_path / "EgoBodyVar"
+    rng = np.random.RandomState(3)
+    n_frames = 70
+    rec = make_raw_recording(n_frames, seed=3)
+    imgnames = [f"img/frame_{i:05d}.jpg" for i in range(n_frames)]
+    rec["recording_utils"]["original_imgname"] = imgnames
+    rec["recording_utils"]["center"] = rng.rand(n_frames, 2).astype(np.float32) * 100 + 100
+    rec["recording_utils"]["scale"] = np.full((n_frames,), 0.8, np.float32)
+    for split in ("train", "test"):
+        d = root / "raw" / split
+        d.mkdir(parents=True)
+        np.save(d / "rec_0.npy", rec)
+
+    # fake image tree
+    img_root = tmp_path / "images"
+    (img_root / "img").mkdir(parents=True)
+    for i in range(n_frames):
+        arr = (rng.rand(360, 480, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_root / imgnames[i])
+
+    # EgoHMR predicted interactee: constant recognizable pose
+    interactee_pred = {
+        img: {"smpl_parameters": {
+            "global_orient": np.full((1, 3), 0.25, np.float32),
+            "body_pose": np.full((1, 69), 0.5, np.float32),
+            "betas": np.full((1, 10), 0.125, np.float32),
+        }} for img in imgnames
+    }
+    with open(tmp_path / "interactee.pkl", "wb") as f:
+        pickle.dump(interactee_pred, f)
+
+    # EgoEgo predictions with gaps (carry-forward path)
+    egoego = {
+        img: {"transl": np.float32([0.1, 0.2, 0.3]) * (i + 1),
+              "global_orient": np.eye(3, dtype=np.float32)}
+        for i, img in enumerate(imgnames) if i % 3 != 2
+    }
+    with open(tmp_path / "egoego.pkl", "wb") as f:
+        pickle.dump(egoego, f)
+
+    result = subprocess.run(
+        [sys.executable, "tools/preprocess_egobody.py", "--root", str(root),
+         "--motion-length", "60",
+         "--interactee-pred", str(tmp_path / "interactee.pkl"),
+         "--egoego-pred", str(tmp_path / "egoego.pkl"),
+         "--images-root", str(img_root), "--crops-per-window", "2"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert result.returncode == 0, result.stderr
+
+    data = dict(np.load(root / "processed" / "train.npz"))
+    assert data["egoego_transl"].shape == (2, 60, 3)
+    assert data["egoego_orient"].shape == (2, 60, 3)
+    assert data["image_crops"].shape == (2, 2, 224, 224, 3)
+    assert data["image_crops"].dtype == np.uint8
+    # identity rotmats -> zero axis-angle; carry-forward fills the gaps
+    np.testing.assert_allclose(data["egoego_orient"][0, :10], 0.0, atol=1e-6)
+    L0 = int(data["length"][0])
+    assert L0 == 60 and np.all(np.abs(data["egoego_transl"][0, :L0]).sum(-1) > 0)
+
+    # interactee (actor 1) features are the constant predicted pose once
+    # un-normalized; wearer (actor 0) stays GT
+    mean = np.load(root / "processed" / "mean.npy")[0]
+    std = np.load(root / "processed" / "std.npy")[0]
+    f_int = data["feats"][0, 0, 1] * std[:72] + mean[:72]
+    np.testing.assert_allclose(f_int[:3], 0.25, atol=1e-4)
+    np.testing.assert_allclose(f_int[3:], 0.5, atol=1e-4)
+
+    # datamodule samples + ImageNet-normalizes one crop per item
+    from seeme_tpu.config.loader import Config as Cfg
+    dm = EgoBodyDataModule(Cfg({"DATASET_NAME": "egobody", "DEBUG": False}), str(root))
+    batch = next(dm.batches("train", 2, shuffle=False))
+    assert batch["image"].shape == (2, 224, 224, 3)
+    assert batch["image"].dtype == np.float32
+    assert "image_crops" not in batch
+    assert -3.0 < batch["image"].mean() < 3.0

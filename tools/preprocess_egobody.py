@@ -50,13 +50,114 @@ def aa_to_rot6d(aa: np.ndarray) -> np.ndarray:
     return R[..., :, :2].reshape(*shape, 6).astype(np.float32)
 
 
+def rotmat_to_aa(R: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_matrix(R.reshape(-1, 3, 3)).as_rotvec().astype(np.float32)
+
+
+def _apply_interactee_pred(interactee: dict, imgnames, pred_dict: dict) -> dict:
+    """Replace interactee global_orient/body_pose/betas with per-frame EgoHMR
+    predictions keyed by image name — transl stays ground truth
+    (`dataset.py:1300-1323`, note the '!!! NOT FROM EgoHMR !!!' comment)."""
+    go, bp, bt = [], [], []
+    for img in imgnames:
+        p = pred_dict[img]["smpl_parameters"]
+        go.append(np.asarray(p["global_orient"], np.float32).reshape(-1))
+        bp.append(np.asarray(p["body_pose"], np.float32).reshape(-1))
+        bt.append(np.asarray(p["betas"], np.float32).reshape(-1))
+    return {
+        "global_orient": np.stack(go),
+        "body_pose": np.stack(bp),
+        "betas": np.stack(bt),
+        "transl": np.asarray(interactee["transl"], np.float32),
+    }
+
+
+def _egoego_per_frame(imgnames, pred_dict: dict):
+    """EgoEgo-predicted wearer transl + global orient (rotmat -> axis-angle),
+    carry-forward on missing frames (`dataset.py:1343-1367`)."""
+    transl, orient = [], []
+    for img in imgnames:
+        entry = pred_dict.get(img)
+        if entry is None:
+            transl.append(transl[-1] if transl else np.zeros(3, np.float32))
+            orient.append(orient[-1] if orient else np.eye(3, dtype=np.float32))
+        else:
+            transl.append(np.asarray(entry["transl"], np.float32).reshape(3))
+            orient.append(np.asarray(entry["global_orient"], np.float32).reshape(3, 3))
+    return (np.stack(transl),
+            rotmat_to_aa(np.stack(orient)).reshape(-1, 3))
+
+
+def _crop_resize(img: np.ndarray, cx: float, cy: float, size: float,
+                 out_size: int = 224) -> np.ndarray:
+    """Square crop centered at (cx, cy) with side `size`, resized to
+    out_size — the `generate_image_patch` role (`EgoHMR/utils/other_utils.py`)
+    without rotation/flip (the ego loader passes rot=0, flip=False,
+    `dataset.py:1674-1684`). cv2 warpAffine when available, PIL otherwise."""
+    try:
+        import cv2
+
+        t = np.array([[1, 0, out_size / 2 - cx * out_size / size],
+                      [0, 1, out_size / 2 - cy * out_size / size]], np.float32)
+        scaled = cv2.resize(
+            img, None, fx=out_size / size, fy=out_size / size,
+            interpolation=cv2.INTER_LINEAR)
+        return cv2.warpAffine(scaled, t, (out_size, out_size))
+    except ImportError:
+        from PIL import Image
+
+        x0, y0 = int(round(cx - size / 2)), int(round(cy - size / 2))
+        x1, y1 = int(round(cx + size / 2)), int(round(cy + size / 2))
+        h, w = img.shape[:2]
+        pad = np.zeros((y1 - y0, x1 - x0, img.shape[2]), img.dtype)
+        sx0, sy0 = max(x0, 0), max(y0, 0)
+        sx1, sy1 = min(x1, w), min(y1, h)
+        if sx1 > sx0 and sy1 > sy0:
+            pad[sy0 - y0: sy1 - y0, sx0 - x0: sx1 - x0] = img[sy0:sy1, sx0:sx1]
+        return np.asarray(
+            Image.fromarray(pad).resize((out_size, out_size), Image.BILINEAR))
+
+
+def _window_crops(rec: dict, images_root: str, start: int, length: int,
+                  k: int, seed: int) -> np.ndarray:
+    """k per-window image crops (uint8 RGB) sampled from the window's frames
+    (`dataset.py:1657-1706`: bbox from recording_utils center/scale with the
+    reference's `center + bbox_size` offset quirk preserved)."""
+    utils = rec["recording_utils"]
+    names = list(utils["original_imgname"])[start: start + length]
+    centers = np.asarray(utils["center"], np.float32).reshape(-1, 2)[start: start + length]
+    scales = np.asarray(utils["scale"], np.float32).reshape(-1)[start: start + length]
+    rng = np.random.RandomState(seed)
+    idxs = rng.randint(0, len(names), size=k)
+    crops = []
+    for i in idxs:
+        path = os.path.join(images_root, names[i])
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"))
+        bbox = scales[i] * 200.0
+        cx, cy = centers[i, 0] + bbox, centers[i, 1] + bbox
+        crops.append(_crop_resize(img, cx, cy, bbox).astype(np.uint8))
+    return np.stack(crops)
+
+
 def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69,
-                      data_type: str = "angle"):
+                      data_type: str = "angle",
+                      interactee_pred: dict | None = None,
+                      egoego_pred: dict | None = None,
+                      images_root: str | None = None,
+                      crops_per_window: int = 4):
     """One recording dict -> list of fixed-shape examples (unnormalized)."""
     out = []
     wearer, interactee = rec["wearer"], rec["interactee"]
     utils = rec.get("recording_utils", {})
     n = np.asarray(wearer["body_pose"]).shape[0]
+    imgnames = list(utils.get("original_imgname", []))
+    if interactee_pred is not None:
+        interactee = _apply_interactee_pred(interactee, imgnames[:n], interactee_pred)
+    egoego = _egoego_per_frame(imgnames[:n], egoego_pred) if egoego_pred else None
 
     def actor_feats(actor, s, length):
         go = np.asarray(actor["global_orient"], np.float32).reshape(n, -1)[s : s + length]
@@ -89,6 +190,16 @@ def extract_sequences(rec: dict, motion_length: int, pose_dims: int = 69,
                 v = np.asarray(utils[key], np.float32).reshape(-1)
                 cam[:length, i] = v[start : start + length] if v.size >= n else v[0]
         ex.update(feats=feats, transl=transl, betas=betas, cam=cam)
+        if egoego is not None:
+            eg_t = np.zeros((motion_length, 3), np.float32)
+            eg_o = np.zeros((motion_length, 3), np.float32)
+            eg_t[:length] = egoego[0][start : start + length]
+            eg_o[:length] = egoego[1][start : start + length]
+            ex.update(egoego_transl=eg_t, egoego_orient=eg_o)
+        if images_root is not None:
+            ex["image_crops"] = _window_crops(
+                rec, images_root, start, length, crops_per_window,
+                seed=start + length)
         out.append(ex)
     return out
 
@@ -123,10 +234,12 @@ def normalize_examples(examples, mean, std, pose_dims: int = 69):
 
 
 def pack(examples):
-    return {
-        k: np.stack([ex[k] for ex in examples])
-        for k in ("feats", "transl", "betas", "cam", "length")
-    }
+    keys = ["feats", "transl", "betas", "cam", "length"]
+    # optional condition-variant keys (present on all examples or none)
+    for k in ("egoego_transl", "egoego_orient", "image_crops"):
+        if k in examples[0]:
+            keys.append(k)
+    return {k: np.stack([ex[k] for ex in examples]) for k in keys}
 
 
 def attach_scene(packed, scene_dir: str, n_points: int):
@@ -155,7 +268,28 @@ def main():
     ap.add_argument("--scene-points", type=int, default=20000)
     ap.add_argument("--data-type", choices=("angle", "rot6d"), default="angle",
                     help="feature representation (rot6d = 144-d, `mld.py:100`)")
+    ap.add_argument("--interactee-pred", default=None,
+                    help="EgoHMR predicted-interactee pkl "
+                         "(results_interactee_*.pkl, `dataset.py:1215-1223`): "
+                         "substitutes interactee pose/betas, keeps GT transl")
+    ap.add_argument("--egoego-pred", default=None,
+                    help="EgoEgo wearer transl/orient pkl (trans_and_rot_pred/"
+                         "data.pkl, `dataset.py:1225-1228`): adds "
+                         "egoego_transl/egoego_orient npz keys")
+    ap.add_argument("--images-root", default=None,
+                    help="EgoBody image root: adds per-window 224x224 uint8 "
+                         "crops (image_crops key) for the image condition "
+                         "(`dataset.py:1657-1745`)")
+    ap.add_argument("--crops-per-window", type=int, default=4)
     args = ap.parse_args()
+
+    interactee_pred = egoego_pred = None
+    if args.interactee_pred:
+        with open(args.interactee_pred, "rb") as f:
+            interactee_pred = pickle.load(f)
+    if args.egoego_pred:
+        with open(args.egoego_pred, "rb") as f:
+            egoego_pred = pickle.load(f)
 
     proc = os.path.join(args.root, "processed")
     os.makedirs(proc, exist_ok=True)
@@ -169,7 +303,11 @@ def main():
         for rec_path in recs:
             examples.extend(
                 extract_sequences(load_recording(rec_path), args.motion_length,
-                                  args.pose_dims, args.data_type)
+                                  args.pose_dims, args.data_type,
+                                  interactee_pred=interactee_pred,
+                                  egoego_pred=egoego_pred,
+                                  images_root=args.images_root,
+                                  crops_per_window=args.crops_per_window)
             )
         split_examples[split] = examples
         if split == "train":
