@@ -18,11 +18,14 @@ from glob import glob
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="render config yaml (configs/render_mld.yaml "
+                         "RENDER block supplies defaults; flags override)")
     ap.add_argument("--npy", default=None, help="single (T, J, 3) npy file")
     ap.add_argument("--dir", default=None, help="folder of npy files")
     ap.add_argument("--out", default="renders")
-    ap.add_argument("--fps", type=int, default=20)
-    ap.add_argument("--ext", default="gif", choices=["gif", "mp4"])
+    ap.add_argument("--fps", type=int, default=None)
+    ap.add_argument("--ext", default=None, choices=["gif", "mp4"])
     ap.add_argument("--pairs", action="store_true",
                     help="in --dir, overlay pred_*.npy with matching gt_*.npy")
     ap.add_argument("--mesh", action="store_true",
@@ -32,12 +35,28 @@ def main():
     ap.add_argument("--faces", default=None,
                     help="(F, 3) faces npy; defaults to the configured SMPL "
                          "model's faces (synthetic strip if asset absent)")
-    ap.add_argument("--mode", default="video",
+    ap.add_argument("--mode", default=None,
                     choices=["video", "sequence", "frame"],
                     help="mesh render mode (reference blender/render.py)")
     ap.add_argument("--gt", action="store_true",
                     help="use the ground-truth (green) mesh material")
     args = ap.parse_args()
+
+    if args.cfg:
+        # the reference render.py is config-driven (`RENDER:` block,
+        # configs/render_mld.yaml); flags still win when given
+        from seeme_tpu.config import load_config
+
+        r = load_config(args.cfg).get("RENDER", {})
+        args.npy = args.npy or (str(r.get("NPY", "")) or None)
+        args.dir = args.dir or (str(r.get("DIR", "")) or None)
+        args.mode = args.mode or str(r.get("MODE", "video"))
+        args.fps = args.fps if args.fps is not None else int(r.get("FPS", 20))
+        args.ext = args.ext or str(r.get("VID_EXT", "gif"))
+        args.faces = args.faces or (str(r.get("FACES_PATH", "")) or None)
+    args.mode = args.mode or "video"
+    args.fps = args.fps if args.fps is not None else 20
+    args.ext = args.ext or "gif"
 
     import numpy as np
 

@@ -92,6 +92,9 @@ def build_t2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
         lambda_kl=float(loss.get("LAMBDA_KL", 1e-4)),
         lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
         lambda_joint=float(loss.get("LAMBDA_JOINT", 1.0)),
+        vae_type=str(model.get("vae_type", "mld")),
+        arch=str(cfg.select("model.denoiser.params.arch", "trans_enc")
+                 or "trans_enc"),
     )
     if use_fused is not None:
         t2m_cfg = replace(t2m_cfg, use_fused=use_fused)

@@ -32,7 +32,12 @@ from ..nn.embeddings import (
     sinusoidal_timestep_embedding,
 )
 from ..nn.stylization import MdTransformerLayer
-from ..nn.transformer import SkipTransformerEncoder, TransformerEncoderLayer
+from ..nn.transformer import (
+    SkipTransformerEncoder,
+    TransformerDecoder,
+    TransformerDecoderLayer,
+    TransformerEncoderLayer,
+)
 
 
 class Denoiser(nn.Module):
@@ -50,6 +55,10 @@ class Denoiser(nn.Module):
     position_embedding: str = "learned"
     md_trans: bool = True
     diffusion_only: bool = False
+    # 'trans_enc' (U-skip encoder, the shipped configs) or 'trans_dec'
+    # (plain cross-attention decoder over the condition tokens — the
+    # `configs/modules_novae/denoiser.yaml` arch, `mld_denoiser.py:133-149`)
+    arch: str = "trans_enc"
 
     @property
     def d_model(self) -> int:
@@ -65,6 +74,18 @@ class Denoiser(nn.Module):
         if self.diffusion_only:
             self.pose_embd = nn.Dense(d, name="pose_embd")
             self.pose_proj = nn.Dense(self.nfeats, name="pose_proj")
+
+        if self.arch == "trans_dec":
+            self.mem_pos = build_position_encoding(d, self.position_embedding)
+
+            def make_dec_layer(name):
+                return TransformerDecoderLayer(
+                    d, self.num_heads, self.ff_size, self.dropout,
+                    self.activation, self.normalize_before, name=name,
+                )
+
+            self.decoder = TransformerDecoder(make_dec_layer, self.num_layers, d)
+            return
 
         if self.md_trans:
 
@@ -105,6 +126,22 @@ class Denoiser(nn.Module):
             cond_emb = self.emb_proj(nn.relu(cond))
         else:
             cond_emb = cond
+
+        if self.arch == "trans_dec":
+            # tgt = (embedded) sample tokens; memory = [time; cond] tokens
+            # (`mld_denoiser.py:222-239`)
+            if self.diffusion_only:
+                sample = self.pose_embd(sample)
+            memory = jnp.concatenate([time_emb, cond_emb], axis=1)
+            xseq = self.query_pos(sample)
+            memory = self.mem_pos(memory)
+            out = self.decoder(xseq, memory, deterministic=deterministic)
+            if self.diffusion_only:
+                out = self.pose_proj(out)
+                if lengths is not None:
+                    mask = lengths_to_mask(lengths, out.shape[1])
+                    out = out * mask[..., None]
+            return out
 
         if self.diffusion_only:
             sample = self.pose_embd(sample)

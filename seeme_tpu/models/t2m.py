@@ -42,6 +42,11 @@ class T2MConfig:
     # fused Pallas sampling on TPU; disable for bit-faithful scan sampling
     # (guidance amplifies the bf16 weight-storage rounding ~linearly)
     use_fused: bool = True
+    # VAE_TYPE: 'mld' (latent diffusion) or 'no' (diffusion directly over
+    # per-frame features — `config_novae_humanml3d.yaml`, `mld.py:935-946`)
+    vae_type: str = "mld"
+    # denoiser arch: 'trans_enc' (U-skip) or 'trans_dec' (the novae config)
+    arch: str = "trans_enc"
 
 
 class T2MSystem:
@@ -49,35 +54,51 @@ class T2MSystem:
         self.cfg = cfg
         self.feats2joints = feats2joints    # normalized feats -> joints (RIC)
         self.text_encoder = text_encoder    # host-side caption embedder
-        self.vae = MotionVae(
-            nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
-            ff_size=cfg.ff_size, num_layers=cfg.num_layers,
-            num_heads=cfg.num_heads, dropout=cfg.dropout,
-        )
+        self.diffusion_only = cfg.vae_type == "no"
+        if not self.diffusion_only:
+            self.vae = MotionVae(
+                nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
+                ff_size=cfg.ff_size, num_layers=cfg.num_layers,
+                num_heads=cfg.num_heads, dropout=cfg.dropout,
+            )
         self.denoiser = Denoiser(
             nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
             ff_size=cfg.ff_size, num_layers=cfg.num_layers,
             num_heads=cfg.num_heads, dropout=cfg.dropout,
             text_encoded_dim=cfg.text_encoded_dim, md_trans=False,
+            diffusion_only=self.diffusion_only, arch=cfg.arch,
         )
         self.schedule = DiffusionSchedule()
+
+    def _denoiser_sample_shape(self):
+        cfg = self.cfg
+        if self.diffusion_only:  # latents ARE padded features (`mld.py:443-447`)
+            return (1, cfg.max_len, cfg.nfeats)
+        return (1, cfg.latent_dim[0], cfg.latent_dim[1])
 
     def init_params(self, rng: jax.Array) -> Dict:
         cfg = self.cfg
         r1, r2 = jax.random.split(rng)
-        return {
-            "vae": self.vae.init(r1, jnp.zeros((1, cfg.max_len, cfg.nfeats))),
+        params = {
             "denoiser": self.denoiser.init(
                 r2,
-                jnp.zeros((1, cfg.latent_dim[0], cfg.latent_dim[1])),
+                jnp.zeros(self._denoiser_sample_shape()),
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, 1, cfg.text_encoded_dim)),
+                jnp.ones((1,), jnp.int32),
             ),
         }
+        if not self.diffusion_only:
+            params["vae"] = self.vae.init(
+                r1, jnp.zeros((1, cfg.max_len, cfg.nfeats)))
+        return params
 
     # ------------------------------------------------------------------ vae
     def vae_loss(self, params: Dict, batch: Dict, rng: jax.Array,
                  feats2joints=None):
+        if self.diffusion_only:
+            raise ValueError("vae stage is undefined for VAE_TYPE 'no' "
+                             "(config_novae_*: train stage diffusion only)")
         if feats2joints is None:
             feats2joints = self.feats2joints
         cfg = self.cfg
@@ -118,10 +139,14 @@ class T2MSystem:
         if text_emb.ndim == 2:
             text_emb = text_emb[:, None, :]
         z_rng, m_rng, t_rng, n_rng, d_rng = jax.random.split(rng, 5)
-        mu, logvar = self.vae.apply(
-            params["vae"], motion, lengths, method=self.vae.encode
-        )
-        z = reparameterize(z_rng, mu, logvar)
+        if self.diffusion_only:
+            # diffusion over padded per-frame features (`mld.py:935-946`)
+            z = motion
+        else:
+            mu, logvar = self.vae.apply(
+                params["vae"], motion, lengths, method=self.vae.encode
+            )
+            z = reparameterize(z_rng, mu, logvar)
         drop = jax.random.bernoulli(
             m_rng, cfg.guidance_uncondp, (text_emb.shape[0], 1, 1)
         )
@@ -132,8 +157,13 @@ class T2MSystem:
         noisy = self.schedule.add_noise(z, noise, t)
         pred = self.denoiser.apply(
             params["denoiser"], noisy, t, text_emb,
+            lengths if self.diffusion_only else None,
             deterministic=False, rngs={"dropout": d_rng},
         )
+        if self.diffusion_only:
+            # padded frames are zeroed by the denoiser; mask the target too
+            mask = lengths_to_mask(lengths, cfg.max_len)[..., None]
+            noise = noise * mask
         return diffusion_losses(pred, noise)
 
     # -------------------------------------------------------------- sampling
@@ -151,6 +181,21 @@ class T2MSystem:
             cond = jnp.concatenate([jnp.zeros_like(text_emb), text_emb], axis=0)
         else:
             cond = text_emb
+
+        if self.diffusion_only:
+            T = nframes or cfg.max_len
+            if lengths is None:
+                lengths = jnp.full((B,), T, jnp.int32)
+
+            def denoiser_fn(x, t, step_rng):
+                L = jnp.concatenate([lengths] * 2) if cfg.guidance_scale > 1.0 else lengths
+                return self.denoiser.apply(params["denoiser"], x, t, cond, L)
+
+            return ddim_sample(
+                denoiser_fn, self.schedule, rng, (B, T, cfg.nfeats),
+                num_inference_steps=cfg.num_inference_timesteps,
+                guidance_scale=cfg.guidance_scale,
+            )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
         if cfg.use_fused and jax.default_backend() != "cpu":

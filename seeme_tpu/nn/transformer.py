@@ -153,6 +153,32 @@ class TransformerDecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + drop(h))
 
 
+class TransformerDecoder(nn.Module):
+    """Plain (non-skip) decoder stack with a final norm
+    (`cross_attention.py:217-255`, return_intermediate=False) — the
+    arch='trans_dec' denoiser path (`configs/modules_novae/denoiser.yaml`)."""
+
+    make_layer: Callable[[str], nn.Module]
+    num_layers: int
+    d_model: int
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        memory: jnp.ndarray,
+        tgt_valid_mask: Optional[jnp.ndarray] = None,
+        memory_valid_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        x = tgt
+        for i in range(self.num_layers):
+            x = self.make_layer(f"layer_{i}")(
+                x, memory, tgt_valid_mask, memory_valid_mask, deterministic
+            )
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
 class SkipTransformerEncoder(nn.Module):
     """U-skip encoder stack (`cross_attention.py:18-86`).
 

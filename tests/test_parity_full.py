@@ -44,6 +44,11 @@ from seeme_tpu.models.denoiser import Denoiser  # noqa: E402
 from seeme_tpu.models.prohmr import FCHead  # noqa: E402
 from seeme_tpu.models.vae import MotionVae  # noqa: E402
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 torch.manual_seed(0)
 
 
@@ -568,3 +573,74 @@ def test_smplflow_head_parity():
     }}
     off_j = FCHead(fc).apply(fc_params, jnp.asarray(context.numpy()))
     np.testing.assert_allclose(np.asarray(off_j), offset_t.numpy(), atol=1e-5)
+
+
+class TPlainDecoder(tnn.Module):
+    """Plain TransformerDecoder stack (`cross_attention.py:217-255`)."""
+
+    def __init__(self, make_layer, num_layers, d):
+        super().__init__()
+        self.layers = tnn.ModuleList([make_layer() for _ in range(num_layers)])
+        self.norm = tnn.LayerNorm(d)
+
+    def forward(self, tgt, memory):
+        x = tgt
+        for layer in self.layers:
+            x = layer(x, memory)
+        return self.norm(x)
+
+
+class TNovaeDenoiser(tnn.Module):
+    """MldDenoiser replica for arch='trans_dec' + diffusion_only
+    (`mld_denoiser.py:56-59, 133-149, 222-239` — the novae config)."""
+
+    def __init__(self, nfeats, d, heads, ff, num_layers, text_dim):
+        super().__init__()
+        self.text_dim, self.d = text_dim, d
+        self.pose_embd = tnn.Linear(nfeats, d)
+        self.pose_proj = tnn.Linear(d, nfeats)
+        self.time_embedding = TTimestepEmbedding(text_dim, d)
+        if text_dim != d:
+            self.emb_proj = tnn.Sequential(tnn.ReLU(), tnn.Linear(text_dim, d))
+        self.query_pos = TLearnedPE(d)
+        self.mem_pos = TLearnedPE(d)
+        self.decoder = TPlainDecoder(
+            lambda: TDecoderLayer(d, heads, ff), num_layers, d)
+
+    def forward(self, sample, timestep, cond, mask):
+        sample = sample.permute(1, 0, 2)  # (T, B, nfeats)
+        B = sample.shape[1]
+        t_emb = _t_timestep_embedding(timestep.expand(B), self.text_dim)
+        time_emb = self.time_embedding(t_emb).unsqueeze(0)
+        cond = cond.permute(1, 0, 2)
+        text_emb = self.emb_proj(cond) if self.text_dim != self.d else cond
+        memory = self.mem_pos(torch.cat([time_emb, text_emb], dim=0))
+        x = self.query_pos(self.pose_embd(sample))
+        out = self.pose_proj(self.decoder(x, memory))
+        out = out.permute(1, 0, 2)
+        return out * mask[..., None]
+
+
+def test_novae_trans_dec_denoiser_parity():
+    """arch='trans_dec' diffusion-only denoiser (config_novae_humanml3d)."""
+    nfeats, d, heads, ff, L, text_dim = 11, 32, 2, 48, 3, 16
+    tden = TNovaeDenoiser(nfeats, d, heads, ff, L, text_dim).eval()
+
+    B, T, n_cond = 3, 7, 2
+    sample = torch.randn(B, T, nfeats)
+    cond = torch.randn(B, n_cond, text_dim)
+    lengths = torch.tensor([7, 5, 3])
+    mask = torch.arange(T)[None] < lengths[:, None]
+    with torch.no_grad():
+        ref = tden(sample, torch.tensor(321), cond, mask)
+
+    sd = {f"denoiser.{k}": v for k, v in tden.state_dict().items()}
+    params = convert_mld_checkpoint(sd, num_layers=L)["denoiser"]
+
+    m = Denoiser(nfeats=nfeats, latent_dim=(1, d), ff_size=ff, num_layers=L,
+                 num_heads=heads, text_encoded_dim=text_dim,
+                 diffusion_only=True, arch="trans_dec")
+    out = m.apply(params, jnp.asarray(sample.numpy()),
+                  jnp.full((B,), 321, jnp.int32), jnp.asarray(cond.numpy()),
+                  jnp.asarray(lengths.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-4)

@@ -147,23 +147,37 @@ def convert_md_layer(sd: Dict, prefix: str) -> Dict:
 
 
 def convert_denoiser(sd: Dict, num_layers: int = 5, md_trans: bool = True) -> Dict:
-    n_block = (num_layers - 1) // 2
-    conv = convert_md_layer if md_trans else convert_encoder_layer
-    enc: Dict = {}
-    for i in range(n_block):
-        enc[f"input_{i}"] = conv(sd, f"encoder.input_blocks.{i}")
-        enc[f"output_{i}"] = conv(sd, f"encoder.output_blocks.{i}")
-        enc[f"skip_linear_{i}"] = convert_linear(sd, f"encoder.linear_blocks.{i}")
-    enc["middle"] = conv(sd, "encoder.middle_block")
-    enc["norm"] = convert_layernorm(sd, "encoder.norm")
     params = {
         "time_embedding": {
             "linear_1": convert_linear(sd, "time_embedding.linear_1"),
             "linear_2": convert_linear(sd, "time_embedding.linear_2"),
         },
         "query_pos": convert_learned_pe(sd, "query_pos"),
-        "encoder": enc,
     }
+    if "decoder.layers.0.self_attn.in_proj_weight" in sd:
+        # arch='trans_dec': plain TransformerDecoder stack + mem_pos
+        # (`mld_denoiser.py:133-149`, modules_novae/denoiser.yaml)
+        n = sum(1 for k in sd
+                if k.startswith("decoder.layers.")
+                and k.endswith(".self_attn.in_proj_weight"))
+        dec: Dict = {
+            f"layer_{i}": convert_decoder_layer(sd, f"decoder.layers.{i}")
+            for i in range(n)
+        }
+        dec["norm"] = convert_layernorm(sd, "decoder.norm")
+        params["decoder"] = dec
+        params["mem_pos"] = convert_learned_pe(sd, "mem_pos")
+    else:
+        n_block = (num_layers - 1) // 2
+        conv = convert_md_layer if md_trans else convert_encoder_layer
+        enc: Dict = {}
+        for i in range(n_block):
+            enc[f"input_{i}"] = conv(sd, f"encoder.input_blocks.{i}")
+            enc[f"output_{i}"] = conv(sd, f"encoder.output_blocks.{i}")
+            enc[f"skip_linear_{i}"] = convert_linear(sd, f"encoder.linear_blocks.{i}")
+        enc["middle"] = conv(sd, "encoder.middle_block")
+        enc["norm"] = convert_layernorm(sd, "encoder.norm")
+        params["encoder"] = enc
     if "emb_proj.1.weight" in sd:
         params["emb_proj_dense"] = convert_linear(sd, "emb_proj.1")
     if "pose_embd.weight" in sd:
