@@ -65,7 +65,11 @@ class EgoHmrImageDataModule:
         return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
     def batches(self, split: str, batch_size: int, shuffle=None,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                seed: int = 0, augment: bool = False,
+                aug_config=None) -> Iterator[Dict[str, np.ndarray]]:
+        """`augment=True` applies the EgoHMR training augmentation pipeline
+        (scale/rotate/flip/color — `data/augmentation.py`, the reference
+        train-split `do_augment=True` path)."""
         data = (
             self._synthetic_split(split)
             if self.is_synthetic
@@ -77,9 +81,14 @@ class EgoHmrImageDataModule:
             shuffle = split == "train"
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
+        aug_rng = np.random.RandomState(seed + 10_007)
         for i in range(0, (n // batch_size) * batch_size, batch_size):
             sel = idx[i : i + batch_size]
             raw = {k: v[sel] for k, v in data.items()}
+            if augment:
+                from .augmentation import augment_batch
+
+                raw = augment_batch(raw, aug_rng, aug_config)
             yield to_model_batch(raw)
 
 

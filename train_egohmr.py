@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--out", default="experiments/egohmr/run")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--augment", dest="augment", action="store_true",
+                    default=True,
+                    help="train-split crop/rotate/flip/color augmentation "
+                         "(EgoHMR/dataloaders/augmentation.py)")
+    ap.add_argument("--no-augment", dest="augment", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +90,7 @@ def main():
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         totals = []
-        for batch_np in dm.batches("train", args.batch_size, seed=epoch):
+        for batch_np in dm.batches("train", args.batch_size, seed=epoch, augment=args.augment):
             batch = add_body_rep({k: jax.tree.map(jnp.asarray, v) for k, v in batch_np.items()})
             rng, step_rng = jax.random.split(rng)
             params, opt_state, terms = step(params, opt_state, batch, step_rng)

@@ -29,6 +29,16 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="run on the host CPU backend (conv-heavy graphs "
                          "remote-compile very slowly through the axon tunnel)")
+    ap.add_argument("--augment", dest="augment", action="store_true",
+                    default=True,
+                    help="train-split crop/rotate/flip/color augmentation "
+                         "(EgoHMR/dataloaders/augmentation.py; default on, "
+                         "as the reference train split)")
+    ap.add_argument("--no-augment", dest="augment", action="store_false")
+    ap.add_argument("--mocap", default="data/datasets/cmu_mocap.npz",
+                    help="CMU-MoCap npz feeding the discriminator's real "
+                         "poses (train_prohmr_scene.py:84-86); synthetic "
+                         "fallback when absent")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +52,7 @@ def main():
 
     from seeme_tpu.core.rotations import aa_to_rotmat, rotmat_to_rot6d
     from seeme_tpu.core.smpl import synthetic_smpl, load_smpl
+    from seeme_tpu.data.augmentation import MoCapDataset
     from seeme_tpu.data.egohmr_images import EgoHmrImageDataModule
     from seeme_tpu.models.prohmr import ProHMRConfig, ProHMRScene
     from seeme_tpu.train.checkpoint import save_params
@@ -110,12 +121,18 @@ def main():
         updates, g_state = opt_g.update(grads, g_state, g_params)
         return optax.apply_updates(g_params, updates), g_state, terms, fake
 
+    # unpaired CMU-MoCap poses are the discriminator's 'real' distribution
+    # (`train_prohmr_scene.py:84-86, 115-135`)
+    mocap = MoCapDataset(args.mocap)
+    if mocap.is_synthetic:
+        print(f"no mocap npz at {args.mocap} -> synthetic discriminator poses")
+    mocap_iter = mocap.batches(args.batch_size * cfg.num_train_samples,
+                               np.random.RandomState(3))
+
     @jax.jit
-    def d_step(d_params, d_state, batch, fake):
-        gt_pose = aa_to_rotmat(
-            batch["smpl_params"]["body_pose"].reshape(-1, 23, 3)
-        )
-        gt_betas = batch["smpl_params"]["betas"]
+    def d_step(d_params, d_state, mocap_batch, fake):
+        gt_pose = aa_to_rotmat(mocap_batch["body_pose"].reshape(-1, 23, 3))
+        gt_betas = mocap_batch["betas"]
 
         def loss_fn(dp):
             full = {"discriminator": dp}
@@ -135,11 +152,13 @@ def main():
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         losses = []
-        for batch_np in dm.batches("train", args.batch_size, seed=epoch):
+        for batch_np in dm.batches("train", args.batch_size, seed=epoch,
+                                   augment=args.augment):
             batch = {k: jax.tree.map(jnp.asarray, v) for k, v in batch_np.items()}
             rng, step_rng = jax.random.split(rng)
             g_params, g_state, terms, fake = g_step(g_params, d_params, g_state, batch, step_rng)
-            d_params, d_state, d_loss = d_step(d_params, d_state, batch, fake)
+            mocap_batch = {k: jnp.asarray(v) for k, v in next(mocap_iter).items()}
+            d_params, d_state, d_loss = d_step(d_params, d_state, mocap_batch, fake)
             losses.append(float(terms["loss"]))
         print(
             f"epoch {epoch}: G loss {np.mean(losses):.4f} "
