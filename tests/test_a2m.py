@@ -8,6 +8,11 @@ import pytest
 from seeme_tpu.models.a2m import A2MConfig, A2MSystem
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = A2MConfig(nfeats=150, num_frames=16, num_classes=12,

@@ -24,6 +24,11 @@ from seeme_tpu.nn.gru import BiGru  # noqa: E402
 from seeme_tpu.nn.pointnet import ResnetPointnet  # noqa: E402
 from seeme_tpu.nn.transformer import MultiHeadAttention  # noqa: E402
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 torch.manual_seed(0)
 
 

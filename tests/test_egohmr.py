@@ -15,6 +15,11 @@ CFG = EgoHmrConfig(gcn_hid_dim=64, gcn_layers=1, timestep_respacing="ddim10",
 SMPL = synthetic_smpl(n_verts=128)
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 def make_batch(B=2, n_pts=32, seed=0):
     rng = np.random.RandomState(seed)
     kp2d = rng.randn(B, 25, 3).astype(np.float32)

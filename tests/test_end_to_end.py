@@ -23,6 +23,11 @@ from seeme_tpu.train import (
 T = 16  # short motions keep CPU tests fast; the graph is identical at T=60
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = SeeMeConfig(motion_length=T, scene_points=64)

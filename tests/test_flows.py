@@ -23,6 +23,11 @@ CFG = GlowConfig(features=12, hidden_features=32, num_layers=3,
                  num_blocks_per_layer=2, context_features=7)
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def flow():
     params = init_glow(jax.random.PRNGKey(0), CFG)

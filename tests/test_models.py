@@ -10,6 +10,13 @@ B, T, F = 4, 60, 75
 D = 256
 
 
+import pytest
+
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 def make_vae():
     vae = MotionVae(nfeats=F)
     feats = jnp.zeros((B, T, F))

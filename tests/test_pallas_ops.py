@@ -12,6 +12,13 @@ from seeme_tpu.nn.pointnet import ResnetPointnet
 from seeme_tpu.ops import pointnet_pallas
 
 
+import pytest
+
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 def _interpreted(fn, *args):
     orig = pl.pallas_call
 

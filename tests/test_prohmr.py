@@ -16,6 +16,11 @@ CFG = ProHMRConfig(
 SMPL = synthetic_smpl(n_verts=128)
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def model():
     m = ProHMRScene(CFG, SMPL)

@@ -11,6 +11,13 @@ from seeme_tpu.core.smpl import PARENTS
 MODEL = synthetic_smpl(n_verts=256)
 
 
+import pytest
+
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 def zero_pose(B):
     return dict(
         betas=jnp.zeros((B, 10)),

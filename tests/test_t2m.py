@@ -22,6 +22,11 @@ from seeme_tpu.models.text_encoder import ClipTextEncoder
 from seeme_tpu.nn.gru import MotionEncoderBiGRUCo, MovementConvEncoder, TextEncoderBiGRUCo
 
 
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 class TestRic:
     def test_quaternion_ops(self):
         rng = np.random.RandomState(0)

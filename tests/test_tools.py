@@ -12,6 +12,13 @@ from seeme_tpu.core.smpl import smpl_joints24
 from seeme_tpu.render.joints import render_joints_video
 
 
+import pytest
+
+# heavy jit compiles / 8-device mesh / interpret-mode Pallas: excluded
+# from the smoke tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 def test_render_joints_video(tmp_path):
     rng = np.random.RandomState(0)
     joints = np.cumsum(rng.randn(6, 24, 3).astype(np.float32) * 0.02, axis=0)
