@@ -57,6 +57,11 @@ class EgoHmrConfig:
     fx_norm_coeff: float = 1500.0
     num_train_timesteps: int = 1000
     timestep_respacing: str = "ddim50"
+    # scene-collision penalty (the reference's COAP term, `egohmr.py:414-443`;
+    # disabled by default there too). The native equivalent is the capsule
+    # penetration loss in core/collision.py — no occupancy-net asset needed.
+    weight_coap_penetration: float = 0.0
+    start_coap_epoch: int = 10
 
     @property
     def cam_feat_dim(self) -> int:
@@ -318,9 +323,11 @@ class EgoHmr:
         (`egohmr.py:331-470`): pelvis-aligned/full 3d keypoints, 2d full-image
         keypoints (openpose topology, joints 1/9/12 ignored), gendered-GT v2v,
         SMPL parameter MSE, and orthogonality of the diffusion-layout 6d
-        (columns, `egohmr.py:409-412`). The COAP scene-collision term requires
-        the external COAP occupancy network and is out of scope (it is also
-        disabled by default in the reference ctor, `egohmr.py:124-129`)."""
+        (columns, `egohmr.py:409-412`). The scene-collision term
+        (`egohmr.py:414-443`, COAP in the reference) is the capsule
+        penetration loss in `core/collision.py`, gated by
+        cfg.weight_coap_penetration / start_coap_epoch like the reference
+        (disabled by default there too)."""
         from ..core.rotations import aa_to_rotmat
         from .prohmr import JOINTS_TO_IGN, SMPL_TO_OPENPOSE
 
@@ -380,13 +387,22 @@ class EgoHmr:
             + w_kp2d_full * l_kp2d_full + w_betas * l_bt
             + w_body_pose * l_bp + w_global_orient * l_go + w_ortho * l_ortho
         )
-        return total, {
+        terms = {
             "loss_v2v": l_v2v, "loss_keypoints_3d": l_kp3d,
             "loss_keypoints_3d_full": l_kp3d_full,
             "loss_keypoints_2d_full": l_kp2d_full, "loss_betas": l_bt,
             "loss_body_pose": l_bp, "loss_global_orient": l_go,
             "loss_pose_6d_ortho": l_ortho,
         }
+        w_coll = self.cfg.weight_coap_penetration
+        if w_coll > 0 and "scene_pcd" in batch:
+            from ..core.collision import scene_collision_loss
+
+            l_coll = scene_collision_loss(
+                batch["scene_pcd"], pred_k3d_full)
+            total = total + w_coll * l_coll
+            terms["loss_coap_penetration"] = l_coll
+        return total, terms
 
     def training_loss(
         self, params: Dict, batch: Dict, rng: jax.Array,

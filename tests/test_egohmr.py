@@ -161,3 +161,21 @@ class TestGeometricLoss:
         g = jax.grad(lambda p: m.training_loss(p, batch, jax.random.PRNGKey(9))[0])(params)
         gm = max(float(jnp.abs(x).max()) for x in jax.tree.leaves(g["gcn"]))
         assert gm > 0
+
+
+def test_collision_loss_gated_by_weight(model):
+    """weight_coap_penetration > 0 adds the capsule scene-penetration term
+    (the COAP role, `egohmr.py:414-443`) to compute_loss."""
+    import dataclasses
+
+    m, params = model
+    batch = make_batch()
+    rng = jax.random.PRNGKey(3)
+    _, terms_off = m.training_loss(params, batch, rng)
+    assert "loss_coap_penetration" not in terms_off
+
+    m_on = EgoHmr(dataclasses.replace(CFG, weight_coap_penetration=0.1), SMPL)
+    loss_on, terms_on = m_on.training_loss(params, batch, rng)
+    assert "loss_coap_penetration" in terms_on
+    assert float(terms_on["loss_coap_penetration"]) >= 0.0
+    assert np.isfinite(float(loss_on))
