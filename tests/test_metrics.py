@@ -247,3 +247,41 @@ def test_metric_compute_sync_single_process():
     sums, counts = allreduce_metric_sums(m.sums, m.counts)
     assert sums == {"mpjpe": 6.0, "root_error": 1.0}
     assert counts == {"mpjpe": 2, "root_error": 1}
+
+
+def test_allreduce_metric_sums_two_hosts():
+    """Simulate 2 processes: allreduce_metric_sums must sum the (sum, count)
+    accumulators so both hosts compute identical means — the role of the
+    reference's torchmetrics dist_reduce_fx='sum' (`compute.py:106-178`)."""
+    from unittest import mock
+
+    import numpy as np
+
+    from seeme_tpu.parallel.mesh import allreduce_metric_sums
+
+    host0 = ({"MPJPE": 100.0, "ACCL": 4.0}, {"MPJPE": 2, "ACCL": 2})
+    host1 = ({"MPJPE": 50.0, "ACCL": 2.0}, {"MPJPE": 1, "ACCL": 1})
+    keys = sorted(host0[0])
+    vec1 = np.asarray([host1[0][k] for k in keys]
+                      + [float(host1[1][k]) for k in keys], np.float32)
+
+    def fake_allgather(vec):
+        return np.stack([np.asarray(vec), vec1])
+
+    with mock.patch("jax.process_count", return_value=2), \
+         mock.patch("jax.experimental.multihost_utils.process_allgather",
+                    side_effect=fake_allgather):
+        sums, counts = allreduce_metric_sums(*host0)
+    assert sums == {"ACCL": 6.0, "MPJPE": 150.0}
+    assert counts == {"ACCL": 3, "MPJPE": 3}
+
+    # and through EgoMetric.compute(sync=True): merged means
+    from seeme_tpu.eval.metrics import EgoMetric
+
+    m = EgoMetric(split="val", sums=dict(host0[0]), counts=dict(host0[1]))
+    with mock.patch("jax.process_count", return_value=2), \
+         mock.patch("jax.experimental.multihost_utils.process_allgather",
+                    side_effect=fake_allgather):
+        out = m.compute(sync=True)
+    assert abs(out["MPJPE"] - 50.0) < 1e-6
+    assert abs(out["ACCL"] - 2.0) < 1e-6

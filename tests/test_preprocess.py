@@ -195,3 +195,68 @@ def test_preprocess_condition_variants(tmp_path):
     assert batch["image"].dtype == np.float32
     assert "image_crops" not in batch
     assert -3.0 < batch["image"].mean() < 3.0
+
+
+def test_scene_preprocess_cores(tmp_path):
+    """Pure geometric cores of the EgoHMR scene preprocessing
+    (`EgoHMR/preprocess_scene_s1.py:94-119`, `preprocess_scene_s2_for_train
+    .py:135-190`)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from preprocess_scene_egohmr import (
+        ADD_TRANS,
+        apply_transform,
+        crop_scene_cube_around_body,
+        front_crop,
+        load_obj_vertices,
+        uniform_downsample,
+    )
+
+    # OBJ vertex parsing
+    obj = tmp_path / "scene.obj"
+    obj.write_text("# c\nv 1 2 3\nvn 0 0 1\nv 4.5 -1 0.25\nf 1 2 1\n")
+    v = load_obj_vertices(str(obj))
+    np.testing.assert_allclose(v, [[1, 2, 3], [4.5, -1, 0.25]])
+
+    # homogeneous transform round trip
+    rng = np.random.RandomState(0)
+    verts = rng.randn(200, 3)
+    T = np.eye(4)
+    T[:3, :3] = np.linalg.qr(rng.randn(3, 3))[0]
+    T[:3, 3] = [0.3, -0.2, 1.5]
+    back = apply_transform(apply_transform(verts, T), np.linalg.inv(T))
+    np.testing.assert_allclose(back, verts, atol=1e-10)
+    # the opengl flip is an involution
+    np.testing.assert_allclose(
+        apply_transform(apply_transform(verts, ADD_TRANS), ADD_TRANS), verts)
+
+    # front crop keeps only z > 0
+    fc = front_crop(verts)
+    assert (fc[:, 2] > 0).all() and len(fc) == (verts[:, 2] > 0).sum()
+
+    # uniform downsample: exact target count, subset semantics
+    down = uniform_downsample(verts, 50)
+    assert down.shape == (50, 3)
+    down_up = uniform_downsample(verts[:10], 32)  # tiles when under target
+    assert down_up.shape == (32, 3)
+
+    # body cube crop: fixed count, all points within cube_size of the body
+    # center in xz after accounting for the bounded shift
+    body = rng.randn(100, 3) * 0.2
+    scene = rng.randn(5000, 3) * 3.0
+    out, angle, shift = crop_scene_cube_around_body(
+        scene, body, cube_size=2.0, target=256, rng=np.random.RandomState(1))
+    assert out.shape == (256, 3)
+    center = body.mean(0)
+    # rotate forward again to check the cube bounds (crop was in aug frame)
+    dx = out[:, 0] - center[0]
+    dz = out[:, 2] - center[2]
+    rx = dx * np.cos(angle) - dz * np.sin(angle)
+    rz = dx * np.sin(angle) + dz * np.cos(angle)
+    assert (np.abs(rx - shift[0]) <= 1.0 + 1e-9).all()
+    assert (np.abs(rz - shift[2]) <= 1.0 + 1e-9).all()
+    # no augmentation -> deterministic, zero rotation
+    out2, angle2, shift2 = crop_scene_cube_around_body(
+        scene, body, cube_size=2.0, target=256, augment=False)
+    assert angle2 == 0.0 and (shift2 == 0).all()

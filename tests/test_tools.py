@@ -68,3 +68,39 @@ def test_render_pairs_overlay(tmp_path):
     assert "(+gt overlay)" in result.stdout
     assert (tmp_path / "out" / "pred_0.gif").exists()
     assert (tmp_path / "out" / "pred_1.gif").exists()
+
+
+def test_gltf_export_roundtrip(tmp_path):
+    """GLB export: valid container, accessor counts, animation channels
+    (the fbx_output.py role, SDK-free)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import numpy as np
+    from export_gltf import build_glb, parse_glb
+
+    rng = np.random.RandomState(0)
+    joints = rng.randn(12, 24, 3).astype(np.float32)
+    glb = build_glb(joints, fps=20.0)
+    doc = parse_glb(glb)
+    assert doc["asset"]["version"] == "2.0"
+    assert len(doc["nodes"]) == 24
+    anim = doc["animations"][0]
+    assert len(anim["channels"]) == 24
+    assert all(c["target"]["path"] == "translation" for c in anim["channels"])
+    # time accessor covers all frames at the right rate
+    t_acc = doc["accessors"][anim["samplers"][0]["input"]]
+    assert t_acc["count"] == 12
+    assert abs(t_acc["max"][0] - 11 / 20.0) < 1e-6
+    # per-joint output accessors are VEC3 with T entries
+    out_acc = doc["accessors"][anim["samplers"][3]["output"]]
+    assert out_acc["type"] == "VEC3" and out_acc["count"] == 12
+    # binary chunk decodes back to the joint track
+    import struct
+    json_len = struct.unpack_from("<II", glb, 12)[0]
+    bin_start = 20 + json_len + 8
+    bv = doc["bufferViews"][out_acc["bufferView"]]
+    raw = glb[bin_start + bv["byteOffset"]:
+              bin_start + bv["byteOffset"] + bv["byteLength"]]
+    track = np.frombuffer(raw, np.float32).reshape(12, 3)
+    np.testing.assert_allclose(track, joints[:, 3], atol=1e-6)
