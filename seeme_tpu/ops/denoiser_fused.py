@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # --------------------------------------------------------------- pure forward
 
-def _layer_norm(x, scale, bias, eps=1e-6):
+def _layer_norm(x, scale, bias, eps=1e-5):  # matches flax/torch LayerNorm eps
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale.astype(x.dtype) + bias.astype(x.dtype)
