@@ -159,6 +159,14 @@ class SyntheticA2MDataModule:
 
 @register_dataset("humanact12")
 def _humanact12(cfg):
+    pkl_path = os.path.join(
+        cfg.select("DATASET.ROOT", "./datasets") or "./datasets",
+        "HumanAct12Poses", "humanact12poses.pkl")
+    if not cfg.select("DATASET.SYNTHETIC", False) and os.path.exists(pkl_path):
+        from .a2m import HumanAct12DataModule
+
+        return HumanAct12DataModule(cfg, pkl_path,
+                                    num_frames=int(cfg.get("MOTION_LENGTH", 60)))
     return SyntheticA2MDataModule(cfg, num_classes=12, nfeats=150)
 
 

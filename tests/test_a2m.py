@@ -59,3 +59,37 @@ def test_feats_to_joints_fk(setup):
     assert joints.shape == (2, 4, 24, 3)
     # pelvis carries exactly the translation channel
     np.testing.assert_allclose(joints[0, 0, 0], [0.5, 0.0, -0.25], atol=1e-5)
+
+
+def test_humanact12_real_loader(tmp_path):
+    """Real-release pkl -> ACTOR-layout features: rot6d blocks orthonormal,
+    root trajectory starts at origin, fixed shapes with true lengths."""
+    import pickle
+
+    from seeme_tpu.data.a2m import HumanAct12DataModule
+
+    rng = np.random.RandomState(0)
+    clips = {"poses": [], "joints3D": [], "y": []}
+    for i, T in enumerate((70, 30, 45)):
+        clips["poses"].append(rng.randn(T, 72).astype(np.float32) * 0.3)
+        clips["joints3D"].append(rng.randn(T, 24, 3).astype(np.float32))
+        clips["y"].append(i % 12)
+    pkl_path = tmp_path / "humanact12poses.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump(clips, f)
+
+    dm = HumanAct12DataModule(None, str(pkl_path), num_frames=60)
+    assert dm.nfeats == 150 and dm.num_classes == 12 and not dm.is_synthetic
+    batch = next(dm.batches("train", 3, shuffle=False))
+    assert batch["motion"].shape == (3, 60, 150)
+    assert sorted(batch["length"].tolist()) == [30, 45, 60]
+
+    # rot6d blocks of valid frames are two orthonormal columns
+    L0 = batch["length"][0]
+    blocks = batch["motion"][0, :L0, :144].reshape(-1, 24, 3, 2)
+    grams = np.einsum("fjik,fjil->fjkl", blocks, blocks)
+    np.testing.assert_allclose(grams, np.broadcast_to(np.eye(2), grams.shape),
+                               atol=1e-5)
+    # trajectory starts at the origin, padded frames zeroed
+    np.testing.assert_allclose(batch["motion"][0, 0, 144:147], 0.0, atol=1e-6)
+    np.testing.assert_allclose(batch["motion"][1, 31:, :], 0.0)
