@@ -172,4 +172,12 @@ def _humanact12(cfg):
 
 @register_dataset("uestc")
 def _uestc(cfg):
+    root = os.path.join(
+        cfg.select("DATASET.ROOT", "./datasets") or "./datasets", "uestc")
+    vibe_pkl = os.path.join(root, "vibe_cache_refined.pkl")
+    if not cfg.select("DATASET.SYNTHETIC", False) and os.path.exists(vibe_pkl):
+        from .a2m import UestcDataModule
+
+        return UestcDataModule(cfg, root,
+                               num_frames=int(cfg.get("MOTION_LENGTH", 60)))
     return SyntheticA2MDataModule(cfg, num_classes=40, nfeats=150)

@@ -93,3 +93,61 @@ def test_humanact12_real_loader(tmp_path):
     # trajectory starts at the origin, padded frames zeroed
     np.testing.assert_allclose(batch["motion"][0, 0, 144:147], 0.0, atol=1e-6)
     np.testing.assert_allclose(batch["motion"][1, 31:, :], 0.0)
+
+
+def test_uestc_real_loader(tmp_path):
+    """Tiny fake VIBE release: subject split, side-2 front-view rotation,
+    view-8/side-2 skip, short-train-clip filter, strided 60-frame sampling."""
+    import pickle
+
+    from scipy.spatial.transform import Rotation
+
+    from seeme_tpu.data.a2m import UestcDataModule, _y_rotation
+
+    rng = np.random.RandomState(0)
+    # (action, view, subject, side, nframes); subject 1 trains, 3 tests
+    specs = [
+        (0, 1, 1, 1, 120),   # train, long
+        (5, 2, 1, 2, 80),    # train, side 2 -> rotated to front view
+        (7, 8, 1, 2, 80),    # skipped: view 8 on side 2
+        (3, 1, 3, 1, 50),    # test
+        (9, 1, 1, 1, 20),    # dropped: train clip under 60*3/4 frames
+    ]
+    names, poses, joints, cams = [], [], [], []
+    for a, v, p, c, T in specs:
+        names.append(f"a{a}_d{v}_p{p:03d}_c{c}_color.avi")
+        pose = rng.randn(T, 72).astype(np.float32) * 0.2
+        if c != 1 and v != 8:
+            # global orient that the front-view correction exactly undoes
+            inv = Rotation.from_matrix(_y_rotation(v).T).as_rotvec()
+            pose[:, :3] = inv.astype(np.float32)
+        poses.append(pose)
+        joints.append(rng.randn(T, 49, 3).astype(np.float32))
+        cam = np.ones((T, 4), np.float32)
+        cam[:, 2:] = rng.randn(T, 2).astype(np.float32) * 0.1
+        cams.append(cam)
+    root = tmp_path / "uestc"
+    (root / "info").mkdir(parents=True)
+    (root / "info" / "names.txt").write_text("\n".join(names) + "\n")
+    (root / "info" / "num_frames_min.txt").write_text(
+        "\n".join(str(s[-1]) for s in specs) + "\n")
+    (root / "info" / "action_classes.txt").write_text(
+        "\n".join(f"class{i}" for i in range(40)) + "\n")
+    with open(root / "vibe_cache_refined.pkl", "wb") as f:
+        pickle.dump({"pose": poses, "joints3d": joints, "orig_cam": cams}, f)
+
+    dm = UestcDataModule(None, str(root), num_frames=60)
+    assert dm.nfeats == 150 and dm.num_classes == 40 and not dm.is_synthetic
+    assert dm.num_train == 2                       # long + rotated side-2
+    tr = next(dm.batches("train", 2, shuffle=False))
+    te = next(dm.batches("test", 1, shuffle=False))
+    assert tr["motion"].shape == (2, 60, 150)
+    assert set(tr["action"].tolist()) == {0, 5}
+    assert te["action"].tolist() == [3] and te["length"][0] == 60
+
+    # the side-2 clip's corrected global orient is the identity rotation
+    side2 = tr["motion"][list(tr["action"]).index(5)]
+    np.testing.assert_allclose(
+        side2[0, :6], np.eye(3)[:, :2].reshape(6), atol=1e-5)
+    # root trajectory starts at the origin
+    np.testing.assert_allclose(tr["motion"][:, 0, 144:147], 0.0, atol=1e-5)
