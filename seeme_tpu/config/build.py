@@ -98,8 +98,13 @@ def build_t2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
     )
     if use_fused is not None:
         t2m_cfg = replace(t2m_cfg, use_fused=use_fused)
+    # mode selection mirrors the reference (`mld_clip.py:38-48`): the module
+    # yaml's modelpath (clip vs bert asset) plus the last_hidden_state flag
+    te_params = cfg.select("model.text_encoder.params", {}) or {}
     text_encoder = ClipTextEncoder(
-        cfg.select("model.clip_path", None), latent_dim=t2m_cfg.text_encoded_dim
+        te_params.get("modelpath") or cfg.select("model.clip_path", None),
+        latent_dim=t2m_cfg.text_encoded_dim,
+        last_hidden_state=bool(te_params.get("last_hidden_state", False)),
     )
     return T2MSystem(
         t2m_cfg, feats2joints=getattr(datamodule, "feats2joints", None),

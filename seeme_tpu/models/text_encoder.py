@@ -1,16 +1,26 @@
 """Frozen text encoder for text-conditioned generation.
 
-Reimplements `mld/models/architectures/mld_clip.py:13-90` (MldTextEncoder):
-a frozen CLIP text tower whose pooled `get_text_features` embedding
-conditions the denoiser as a single (B, 1, 768) token. Weights are never
-checkpointed (parity with the save/load stripping at
+Reimplements `mld/models/architectures/mld_clip.py:13-90` (MldTextEncoder)
+with all three reference modes, selected exactly like the reference — by the
+model path plus the `last_hidden_state` flag (`mld_clip.py:38-48`):
+
+  * "clip"        — pooled `get_text_features` embedding, one (B, 1, D) token;
+  * "clip_hidden" — the CLIP text tower's last hidden state, (B, 77, D)
+                    token sequence (`mld_clip.py:79-82`);
+  * "bert"        — a BERT-family encoder's last hidden state
+                    (`mld_clip.py:83-86`; the shipped asset is
+                    distilbert-base-uncased, `configs/assets.yaml:32`).
+                    The reference pads dynamically per batch; here sequences
+                    pad to a fixed `max_length` so downstream jits keep
+                    static shapes.
+
+Weights are never checkpointed (parity with the save/load stripping at
 `mld/models/modeltype/base.py:124-155`).
 
-Two backends:
-  * transformers FlaxCLIPTextModelWithProjection when the pretrained weights
-    are available on disk (zero-egress environments can't download them),
-  * a deterministic hash-bucket embedder otherwise, so text-conditioned
-    pipelines stay runnable end-to-end; clearly flagged via `.is_fallback`.
+Each mode has two backends: the transformers Flax model when the pretrained
+weights are available on disk (zero-egress environments can't download them),
+and a deterministic hash-bucket embedder otherwise, so text-conditioned
+pipelines stay runnable end-to-end; clearly flagged via `.is_fallback`.
 """
 
 from __future__ import annotations
@@ -22,47 +32,82 @@ from typing import List, Optional
 import numpy as np
 
 
+def _hashed_word_vector(word: str, dim: int) -> np.ndarray:
+    h = int(hashlib.md5(word.encode()).hexdigest(), 16)
+    rng = np.random.RandomState(h % (2**32))
+    return rng.randn(dim).astype(np.float32)
+
+
 class ClipTextEncoder:
-    def __init__(self, modelpath: Optional[str] = None, latent_dim: int = 768):
+    def __init__(self, modelpath: Optional[str] = None, latent_dim: int = 768,
+                 last_hidden_state: bool = False, max_length: int = 77):
         self.latent_dim = latent_dim
+        self.max_length = max_length
         self.is_fallback = True
         self._model = None
         self._tokenizer = None
+        # mode resolution mirrors `mld_clip.py:38-48`
+        base = os.path.basename(modelpath or "").lower()
+        if "bert" in base:
+            self.name = "bert"
+        elif last_hidden_state:
+            self.name = "clip_hidden"
+        else:
+            self.name = "clip"
         if modelpath and os.path.isdir(modelpath):
             try:
-                from transformers import (
-                    AutoTokenizer,
-                    FlaxCLIPTextModelWithProjection,
-                )
+                from transformers import AutoTokenizer
 
                 self._tokenizer = AutoTokenizer.from_pretrained(modelpath)
-                self._model = FlaxCLIPTextModelWithProjection.from_pretrained(
-                    modelpath
-                )
+                if self.name == "bert":
+                    from transformers import FlaxAutoModel
+
+                    self._model = FlaxAutoModel.from_pretrained(modelpath)
+                    self.max_length = min(
+                        max_length, self._tokenizer.model_max_length)
+                else:
+                    from transformers import FlaxCLIPTextModelWithProjection
+
+                    self._model = FlaxCLIPTextModelWithProjection.from_pretrained(
+                        modelpath
+                    )
                 self.is_fallback = False
             except Exception:
                 self._model = None
 
     def __call__(self, texts: List[str]) -> np.ndarray:
-        """texts -> (B, 1, latent_dim) pooled embeddings."""
+        """texts -> (B, 1, D) pooled ("clip") or (B, max_length, D) token
+        embeddings ("clip_hidden"/"bert")."""
         if self._model is not None:
             tokens = self._tokenizer(
-                texts, padding="max_length", truncation=True, max_length=77,
-                return_tensors="np",
+                texts, padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
             )
-            out = self._model(input_ids=tokens["input_ids"]).text_embeds
-            return np.asarray(out)[:, None, :]
+            if self.name == "bert":
+                out = self._model(**tokens).last_hidden_state
+                # zero padded positions so fixed-shape padding is inert
+                out = out * tokens["attention_mask"][..., None]
+                return np.asarray(out, np.float32)
+            out = self._model(input_ids=tokens["input_ids"])
+            if self.name == "clip_hidden":
+                return np.asarray(out.last_hidden_state, np.float32)
+            return np.asarray(out.text_embeds)[:, None, :]
         return self._fallback(texts)
 
     def _fallback(self, texts: List[str]) -> np.ndarray:
-        """Deterministic bag-of-hashed-words embedding: same caption -> same
-        vector, shared words -> correlated vectors."""
-        out = np.zeros((len(texts), 1, self.latent_dim), np.float32)
+        """Deterministic hashed-word embeddings: same caption -> same output,
+        shared words -> correlated outputs. Pooled modes sum words into one
+        token; hidden-state modes place each word at its position."""
+        if self.name == "clip":
+            out = np.zeros((len(texts), 1, self.latent_dim), np.float32)
+            for i, t in enumerate(texts):
+                for w in t.lower().split():
+                    out[i, 0] += _hashed_word_vector(w, self.latent_dim)
+                out[i] /= np.sqrt(max(len(t.split()), 1))
+            return out
+        out = np.zeros((len(texts), self.max_length, self.latent_dim),
+                       np.float32)
         for i, t in enumerate(texts):
-            for w in t.lower().split():
-                h = int(hashlib.md5(w.encode()).hexdigest(), 16)
-                rng = np.random.RandomState(h % (2**32))
-                out[i, 0] += rng.randn(self.latent_dim).astype(np.float32)
-            n = max(len(t.split()), 1)
-            out[i] /= np.sqrt(n)
+            for p, w in enumerate(t.lower().split()[: self.max_length]):
+                out[i, p] = _hashed_word_vector(w, self.latent_dim)
         return out

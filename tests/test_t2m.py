@@ -176,6 +176,45 @@ class TestT2MSystem:
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_text_encoder_modes():
+    """Mode selection mirrors `mld_clip.py:38-48`: modelpath name + the
+    last_hidden_state flag; hidden-state modes emit fixed-length token
+    sequences."""
+    enc_h = ClipTextEncoder(last_hidden_state=True, max_length=8)
+    assert enc_h.name == "clip_hidden"
+    out = enc_h(["a person walks"])
+    assert out.shape == (1, 8, 768)
+    np.testing.assert_allclose(out[0, 3:], 0.0)  # padded positions inert
+    assert np.abs(out[0, :3]).sum() > 0
+
+    enc_b = ClipTextEncoder("./deps/distilbert-base-uncased", max_length=8)
+    assert enc_b.name == "bert" and enc_b.is_fallback
+    assert enc_b(["hello world"]).shape == (1, 8, 768)
+
+    assert ClipTextEncoder("./deps/clip-vit-large-patch14").name == "clip"
+
+
+def test_multi_token_condition_flows():
+    """(B, L>1, D) token-sequence conditions (clip_hidden/bert) run through
+    both the diffusion loss and the scan sampler — the denoiser concatenates
+    L condition tokens (`mld_denoiser.py:193-222`)."""
+    cfg = T2MConfig(max_len=16, num_inference_timesteps=3, use_fused=False)
+    system = T2MSystem(cfg)
+    rng = np.random.RandomState(0)
+    text_emb = jnp.asarray(rng.randn(2, 4, 768).astype(np.float32))
+    params = system.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "motion": jnp.asarray(rng.randn(2, 16, 263).astype(np.float32)),
+        "length": jnp.array([16, 9]),
+        "text_emb": text_emb,
+    }
+    loss, _ = system.diffusion_loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = system.sample(params, text_emb, jax.random.PRNGKey(2))
+    assert out.shape == (2, cfg.max_len, cfg.nfeats)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_clip_fallback_deterministic():
     enc = ClipTextEncoder()
     assert enc.is_fallback
