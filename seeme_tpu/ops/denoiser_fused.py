@@ -105,6 +105,116 @@ def _stylization(p, h, emb):
     return _dense(p["out_linear"], jax.nn.silu(h))
 
 
+def md_step_invariants(p_enc, xf, num_layers: int,
+                       time_tokens: jnp.ndarray = None) -> Dict:
+    """Step-invariant pieces of every MD layer for the T=1 fast path.
+
+    Each `_md_layer` consumes the SAME (projected) condition tokens `xf` at
+    every diffusion step: the sa_block k/v projections of the xf rows and the
+    whole ca_block key-softmax/value of xf depend only on `xf`, so the fused
+    sampler hoists them out of the 50-step loop (one compute per window
+    instead of one per step).
+
+    When `time_tokens` (num_steps, D) is given — the MLP-embedded time token
+    of every DDIM step, identical across the batch — the per-layer
+    projections of the time token (sa k/v, both stylization emb_linears) are
+    likewise precomputed for all steps in a few (num_steps, D) matmuls,
+    removing them from the loop entirely."""
+    inv = {}
+    n_block = (num_layers - 1) // 2
+    names = ([f"input_{i}" for i in range(n_block)] + ["middle"]
+             + [f"output_{i}" for i in range(n_block)])
+    for name in names:
+        layer = p_enc[name]
+        sa = layer["sa_block"]["self_attn"]
+        ca = layer["ca_block"]
+        xfn = _layer_norm(xf, ca["text_norm"]["scale"], ca["text_norm"]["bias"])
+        d = {
+            "k_xf": _dense(sa["k_proj"], xf),
+            "v_xf": _dense(sa["v_proj"], xf),
+            "ca_key": jax.nn.softmax(_dense(ca["key"], xfn), axis=1),
+            "ca_value": _dense(ca["value"], xfn),
+        }
+        if time_tokens is not None:
+            se = jax.nn.silu(time_tokens)
+            d["k_emb"] = _dense(sa["k_proj"], time_tokens)            # (S, D)
+            d["v_emb"] = _dense(sa["v_proj"], time_tokens)
+            d["ca_eo"] = _dense(ca["proj_out"]["emb_linear"], se)     # (S, 2D)
+            d["ffn_eo"] = _dense(layer["ffn"]["proj_out"]["emb_linear"], se)
+        inv[name] = d
+    return inv
+
+
+def _stylization_eo(p, h, eo):
+    """`_stylization` with the emb_linear output (R, 2D) precomputed; R is
+    the batch or 1 (a step-sliced row broadcast across the batch)."""
+    scale, shift = jnp.split(eo[:, None, :], 2, axis=-1)
+    h = _layer_norm(h, p["norm"]["scale"], p["norm"]["bias"]) * (1 + scale) + shift
+    return _dense(p["out_linear"], jax.nn.silu(h))
+
+
+def _md_layer_t1(p, x, inv, emb=None, step=None):
+    """`_md_layer` specialized to a single latent token (T=1), the flagship
+    latent shape (`latent_dim: [1, 256]`).
+
+    Mathematically identical to `_md_layer`, but (a) attention/FFN compute
+    only the latent row — the general path pushes the xf/time rows through
+    the whole sa_block and then discards them; (b) the per-sample logits are
+    S per-pair row contractions instead of a block-diag-masked (B*S, B*S)
+    matmul, shrinking the softmax by ~B*S/1; (c) xf projections come from
+    the hoisted `inv` (see `md_step_invariants`); (d) with `step` given, the
+    time-token projections are step-sliced from the all-steps precompute
+    instead of recomputed (their rows broadcast across the batch)."""
+    sa = p["sa_block"]["self_attn"]
+    D = x.shape[-1]
+    if step is None:
+        k_e = _dense(sa["k_proj"], emb)[:, 0]             # (R, D), R in {B, 1}
+        v_e = _dense(sa["v_proj"], emb)[:, 0]
+        se = jax.nn.silu(emb[:, 0])
+        ca_eo = _dense(p["ca_block"]["proj_out"]["emb_linear"], se)
+        ffn_eo = _dense(p["ffn"]["proj_out"]["emb_linear"], se)
+    else:
+        # `step` is a (1, num_steps) one-hot row: Mosaic has no dynamic_slice
+        # on values, so the per-step row is selected by a tiny MXU matmul
+        sl = lambda a: jnp.dot(step, a, preferred_element_type=jnp.float32)
+        k_e, v_e = sl(inv["k_emb"]), sl(inv["v_emb"])     # (1, D)
+        ca_eo, ffn_eo = sl(inv["ca_eo"]), sl(inv["ffn_eo"])
+
+    q_x = _dense(sa["q_proj"], x)                         # (B, 1, D)
+    k_x = _dense(sa["k_proj"], x)
+    v_x = _dense(sa["v_proj"], x)
+    l_x = jnp.sum(q_x * k_x, axis=-1)                     # (B, 1)
+    l_f = jnp.sum(q_x * inv["k_xf"], axis=-1)             # (B, N)
+    l_e = jnp.sum(q_x[:, 0] * k_e, axis=-1, keepdims=True)
+    logits = jnp.concatenate([l_x, l_f, l_e], axis=1) / math.sqrt(D)
+    attn = jax.nn.softmax(logits, axis=-1)                # (B, 1+N+1)
+    N = inv["k_xf"].shape[1]
+    # explicit slices: mixed slice+newaxis indexing lowers through gather,
+    # which Mosaic TPU rejects
+    a_f = jnp.expand_dims(jax.lax.slice_in_dim(attn, 1, 1 + N, axis=1), -1)
+    out = (jax.lax.slice_in_dim(attn, 0, 1, axis=1) * v_x[:, 0]
+           + jnp.sum(a_f * inv["v_xf"], axis=1)
+           + jax.lax.slice_in_dim(attn, 1 + N, 2 + N, axis=1) * v_e)
+    out = _dense(sa["out_proj"], out[:, None])
+
+    pb = p["sa_block"]
+    x = _layer_norm(x + out, pb["norm1"]["scale"], pb["norm1"]["bias"])
+    h = _dense(pb["linear2"], jax.nn.relu(_dense(pb["linear1"], x)))
+    x = _layer_norm(x + h, pb["norm2"]["scale"], pb["norm2"]["bias"])
+
+    ca = p["ca_block"]
+    xn = _layer_norm(x, ca["norm"]["scale"], ca["norm"]["bias"])
+    query = jax.nn.softmax(_dense(ca["query"], xn), axis=-1)   # (B, 1, D)
+    w = jnp.sum(query * inv["ca_key"], axis=-1)                # (B, N)
+    y = jnp.sum(w[..., None] * inv["ca_value"], axis=1, keepdims=True)
+    x = x + _stylization_eo(ca["proj_out"], y, ca_eo)
+
+    ffn = p["ffn"]
+    h = _dense(ffn["linear2"], jax.nn.gelu(_dense(ffn["linear1"], x),
+                                           approximate=True))
+    return x + _stylization_eo(ffn["proj_out"], h, ffn_eo)
+
+
 def _md_layer(p, x, xf, emb):
     """MdTransformerLayer (`nn/stylization.py`)."""
     T = x.shape[1]
@@ -148,11 +258,12 @@ def timestep_freqs(dim: int) -> np.ndarray:
 
 
 def _timestep_embedding(t, dim, flip_sin_to_cos=True, freqs=None):
-    half = dim // 2
     if freqs is None:
         # precomputed host-side: Mosaic rejects float iota / captured consts
         freqs = jnp.asarray(timestep_freqs(dim))
-    emb = t.astype(jnp.float32)[:, None] * freqs.reshape(-1)[None, :]
+    f = freqs.reshape(-1)
+    half = f.shape[0]  # sinusoid count comes from the freqs array itself
+    emb = t.astype(jnp.float32)[:, None] * f[None, :]
     emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
     if flip_sin_to_cos:
         emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
@@ -162,7 +273,10 @@ def _timestep_embedding(t, dim, flip_sin_to_cos=True, freqs=None):
 def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
                         cond: jnp.ndarray, num_layers: int = 5,
                         freqs=None, md_trans: bool = True,
-                        text_freq_dim: int = None) -> jnp.ndarray:
+                        text_freq_dim: int = None,
+                        md_invariants: Dict = None,
+                        cond_projected: bool = False,
+                        md_step=None) -> jnp.ndarray:
     """Pure-jnp twin of `models/denoiser.Denoiser.apply` (both block types).
 
     params: the flax param dict of `models/denoiser.Denoiser`.
@@ -176,13 +290,17 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
     p = params["params"]
     D = x.shape[-1]
     n_tok = x.shape[1]
-    freq_dim = text_freq_dim or cond.shape[-1] if "emb_proj_dense" in p else D
-    t_emb = _timestep_embedding(timesteps, freq_dim, freqs=freqs)
-    te = p["time_embedding"]
-    h = _dense(te["linear_1"], t_emb)
-    time_emb = _dense(te["linear_2"], jax.nn.silu(h))[:, None, :]
+    fast_md = md_trans and n_tok == 1
+    if fast_md and md_step is not None:
+        time_emb = None  # all steps' time tokens precomputed in md_invariants
+    else:
+        freq_dim = text_freq_dim or cond.shape[-1] if "emb_proj_dense" in p else D
+        t_emb = _timestep_embedding(timesteps, freq_dim, freqs=freqs)
+        te = p["time_embedding"]
+        h = _dense(te["linear_1"], t_emb)
+        time_emb = _dense(te["linear_2"], jax.nn.silu(h))[:, None, :]
 
-    if "emb_proj_dense" in p:
+    if "emb_proj_dense" in p and not cond_projected:
         cond = _dense(p["emb_proj_dense"], jax.nn.relu(cond))
 
     enc = p["encoder"]
@@ -191,6 +309,24 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
     if md_trans:
         pe = jax.lax.slice(p["query_pos"]["pe"], (0, 0), (n_tok, D))
         h = x + pe[None].astype(x.dtype)
+        if n_tok == 1:
+            # T=1 fast path with hoisted step-invariant cond projections
+            inv = md_invariants
+            if inv is None:
+                inv = md_step_invariants(enc, cond, num_layers)
+            skips = []
+            for i in range(n_block):
+                h = _md_layer_t1(enc[f"input_{i}"], h, inv[f"input_{i}"],
+                                 emb=time_emb, step=md_step)
+                skips.append(h)
+            h = _md_layer_t1(enc["middle"], h, inv["middle"],
+                             emb=time_emb, step=md_step)
+            for i in range(n_block):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = _dense(enc[f"skip_linear_{i}"], h)
+                h = _md_layer_t1(enc[f"output_{i}"], h, inv[f"output_{i}"],
+                                 emb=time_emb, step=md_step)
+            return _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
         skips = []
         for i in range(n_block):
             h = _md_layer(enc[f"input_{i}"], h, cond, time_emb)
@@ -225,21 +361,53 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
     do_cfg = guidance_scale > 1.0
 
     def kernel(ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref,
-               *param_refs, out_ref):
+               ts_vec_ref, *param_refs, out_ref):
         leaves = [r[...] for r in param_refs]  # bf16-resident weights
         params = jax.tree.unflatten(treedef, leaves)
         cond = cond_ref[...].astype(jnp.float32)  # (2B, N, D) when CFG
         z = z_ref[...].astype(jnp.float32)
         B = z.shape[0]
 
+        # hoist everything step-invariant out of the reverse loop: the cond
+        # projection, the per-layer xf projections (T=1 md path), and — since
+        # t is identical across the batch — the WHOLE time-token pipeline
+        # (sinusoid, MLP, per-layer k/v + stylization emb_linears) for all
+        # num_steps steps at once, as a few (num_steps, D) matmuls
+        p = params["params"]
+        if "emb_proj_dense" in p:
+            cond = _dense(p["emb_proj_dense"], jax.nn.relu(cond))
+            cond_projected = True
+        else:
+            cond_projected = False
+        fast_md = md_trans and z.shape[1] == 1
+        md_inv = None
+        if fast_md:
+            t_emb_all = _timestep_embedding(
+                ts_vec_ref[...].reshape(-1), None, freqs=freqs_ref[...]
+            )  # (num_steps, 2*half)
+            te = p["time_embedding"]
+            time_tokens = _dense(
+                te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all))
+            )  # (num_steps, D)
+            md_inv = md_step_invariants(
+                p["encoder"], cond, num_layers, time_tokens=time_tokens
+            )
+
         def body(i, z):
             t = ts_ref[0, i]
+            step = None
+            if fast_md:  # one-hot step row for the precompute selections
+                step = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, num_steps), 1) == i
+                ).astype(jnp.float32)
             if do_cfg:
                 # [uncond; cond] halves in one doubled batch (`mld.py:467-492`)
                 z_in = jnp.concatenate([z, z], axis=0)
                 pred = denoiser_apply_pure(
                     params, z_in, jnp.full((2 * B,), t), cond, num_layers,
                     freqs=freqs_ref[...], md_trans=md_trans,
+                    md_invariants=md_inv, cond_projected=cond_projected,
+                    md_step=step,
                 )
                 uncond, cond_pred = pred[:B], pred[B:]
                 eps = uncond + guidance_scale * (cond_pred - uncond)
@@ -247,6 +415,8 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
                 eps = denoiser_apply_pure(
                     params, z, jnp.full((B,), t), cond, num_layers,
                     freqs=freqs_ref[...], md_trans=md_trans,
+                    md_invariants=md_inv, cond_projected=cond_projected,
+                    md_step=step,
                 )
             acp_t = acp_ref[0, i]
             acp_prev = acp_prev_ref[0, i]
@@ -297,16 +467,16 @@ def ddim_fused(
     )
 
     def kernel_entry(*refs):
-        ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref = refs[:6]
-        param_refs = refs[6:-1]
+        ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref, ts_vec_ref = refs[:7]
+        param_refs = refs[7:-1]
         out_ref = refs[-1]
         kernel(ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref,
-               *param_refs, out_ref=out_ref)
+               ts_vec_ref, *param_refs, out_ref=out_ref)
 
     # schedule scalars live in SMEM (dynamic scalar indexing), tensors in VMEM
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(leaves_bf16))
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + len(leaves_bf16))
     )
     return pl.pallas_call(
         kernel_entry,
@@ -323,6 +493,8 @@ def ddim_fused(
         acp_prev.reshape(1, -1).astype(jnp.float32),
         z0, cond,
         jnp.asarray(timestep_freqs(freq_dim)).reshape(1, -1),
+        timesteps.reshape(1, -1).astype(jnp.float32),  # f32 copy for the
+        # all-steps time-token precompute (SMEM ints can't feed vector math)
         *leaves_bf16,
     )
 
