@@ -16,6 +16,10 @@ Replicated reference paths (behavior studied, not copied):
     over nflows ConditionalGlow (`nflows/nflows/flows/glow.py:15-64`) +
     FCHead (`fc_head.py:7-52`), i.e. the flow head of
     ProHMRScene.forward_step (`prohmr_scene.py:140-170`).
+  * EgoHMR denoising core — `EgoHMR/models/egohmr/egohmr.py:197-327`:
+    conditioning assembly, timestep table, ModulatedGCN x0 prediction,
+    visibility-guided fusion, betas head (encoders pass-through; their
+    conversion parity lives in test_convert.py).
 """
 
 import math
@@ -644,3 +648,247 @@ def test_novae_trans_dec_denoiser_parity():
                   jnp.full((B,), 321, jnp.int32), jnp.asarray(cond.numpy()),
                   jnp.asarray(lengths.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# EgoHMR denoising core — `EgoHMR/models/egohmr/egohmr.py:197-327`: per-joint
+# conditioning assembly, timestep table+MLP, pose embedding, ModulatedGCN
+# x0 prediction, visibility-guided cond/uncond fusion, betas head. The two
+# frozen encoders (ResNet50, PointNet) have their own conversion parity
+# tests in test_convert.py and are replaced by pass-through features here.
+# --------------------------------------------------------------------------
+
+class TModulatedG(tnn.Module):
+    """ModulatedGraphConv (`modulated_gcn_conv.py:15-53`)."""
+
+    def __init__(self, adj_t, J, din, dout):
+        super().__init__()
+        self.W = tnn.Parameter(torch.randn(2, din, dout) * 0.2)
+        self.M = tnn.Parameter(torch.rand(J, dout))
+        self.adj2 = tnn.Parameter(torch.randn(J, J) * 0.01)
+        self.bias = tnn.Parameter(torch.randn(dout) / math.sqrt(dout))
+        self.adj_t = adj_t
+
+    def forward(self, x):
+        h0, h1 = x @ self.W[0], x @ self.W[1]
+        adj = self.adj_t + self.adj2
+        adj = (adj.T + adj) / 2
+        eye = torch.eye(adj.shape[0])
+        return (adj * eye) @ (self.M * h0) + (adj * (1 - eye)) @ (self.M * h1) + self.bias
+
+
+class TGBlock(tnn.Module):
+    def __init__(self, adj_t, J, din, dout):
+        super().__init__()
+        self.gconv = TModulatedG(adj_t, J, din, dout)
+        self.bn = tnn.BatchNorm1d(dout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.gconv(x).transpose(1, 2)).transpose(1, 2))
+
+
+class TGRes(tnn.Module):
+    def __init__(self, adj_t, J, h):
+        super().__init__()
+        self.gconv1 = TGBlock(adj_t, J, h, h)
+        self.gconv2 = TGBlock(adj_t, J, h, h)
+
+    def forward(self, x):
+        return x + self.gconv2(self.gconv1(x))
+
+
+class TEgoGCN(tnn.Module):
+    def __init__(self, adj_t, J, din, h, dout, layers):
+        super().__init__()
+        self.gconv_input = tnn.Sequential(TGBlock(adj_t, J, din, h))
+        self.gconv_layers = tnn.Sequential(*[TGRes(adj_t, J, h) for _ in range(layers)])
+        self.gconv_output = TModulatedG(adj_t, J, h, dout)
+
+    def forward(self, x):
+        return self.gconv_output(self.gconv_layers(self.gconv_input(x)))
+
+
+class TEgoTimestep(tnn.Module):
+    """PositionalEncoding table + time_embed MLP (`egohmr.py:634-668`)."""
+
+    def __init__(self, d, max_len=5000):
+        super().__init__()
+        self.time_embed = tnn.Sequential(tnn.Linear(d, d), tnn.SiLU(), tnn.Linear(d, d))
+        pe = torch.zeros(max_len, d)
+        pos = torch.arange(max_len, dtype=torch.float32)[:, None]
+        div = torch.exp(torch.arange(0, d, 2, dtype=torch.float32) * (-math.log(10000.0) / d))
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe)
+
+    def forward(self, t):
+        return self.time_embed(self.pe[t])
+
+
+class TSeqMLP(tnn.Module):
+    def __init__(self, din, hidden, dout):
+        super().__init__()
+        self.layers = tnn.Sequential(tnn.Linear(din, hidden), tnn.ReLU(),
+                                     tnn.Linear(hidden, dout))
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class TInputProcess(tnn.Module):
+    def __init__(self, dout):
+        super().__init__()
+        self.poseEmbedding = tnn.Linear(6, dout)
+
+    def forward(self, x):
+        return self.poseEmbedding(x)
+
+
+class TEgoCore(tnn.Module):
+    """EgoHMR forward with pass-through image/scene features."""
+
+    def __init__(self, adj_t, cfg, init_betas):
+        super().__init__()
+        ctx = cfg.context_dim
+        self.embed_timestep = TEgoTimestep(cfg.timestep_embed_dim)
+        self.transl_enc = TSeqMLP(3, 64, cfg.transl_embed_dim)
+        self.input_process = TInputProcess(cfg.input_process_dim)
+        self.beta_layer = TSeqMLP(ctx, 1024, 10)
+        self.diffusion_model = TEgoGCN(adj_t, 24, cfg.gcn_in_dim,
+                                       cfg.gcn_hid_dim, 6, cfg.gcn_layers)
+        self.init_betas = init_betas
+        self.cfg = cfg
+
+    def cam_feats(self, batch):
+        orig_fx = batch["fx"] * self.cfg.fx_norm_coeff
+        cam = torch.stack([batch["cam_cx"] / orig_fx, batch["cam_cy"] / orig_fx], -1)
+        bbox = torch.stack([batch["box_center"][:, 0] / orig_fx,
+                            batch["box_center"][:, 1] / orig_fx,
+                            batch["box_size"] / orig_fx], -1)
+        return torch.cat([cam, bbox, batch["fx"][:, None]], -1)
+
+    def denoise(self, cond, x_t, t):
+        B = x_t.shape[0]
+        x_feat = self.input_process(x_t.view(B, 24, 6))
+        t_emb = self.embed_timestep(t)[:, None].expand(B, 24, -1)
+        return self.diffusion_model(torch.cat([cond, x_feat, t_emb], -1)).reshape(B, 144)
+
+    def forward(self, batch, x_t, t, vis_mask):
+        B = x_t.shape[0]
+        img, scene = batch["img"], batch["scene_pcd"]  # pass-through feats
+        transl_feat = self.transl_enc(batch["transl"])
+        rest = torch.cat([scene, transl_feat, self.cam_feats(batch)], -1)
+        rest = rest[:, None].expand(B, 24, -1)
+        img_pj = img[:, None] * vis_mask[..., None].float()
+        cond = torch.cat([img_pj, rest], -1)
+        cond_un = cond.clone()
+        cond_un[:, :, : self.cfg.img_feat_dim] = 0.0  # force_mask, img only
+        pred = self.denoise(cond, x_t, t)
+        pred_un = self.denoise(cond_un, x_t, t)
+        vis6 = vis_mask.repeat_interleave(6, dim=-1)
+        pred = torch.where(vis6, pred, pred_un)
+        betas = self.beta_layer(torch.cat([img, rest[:, 0]], -1)) + self.init_betas
+        return pred, betas
+
+
+def test_egohmr_denoising_core_full_forward_parity():
+    import jax
+
+    import flax.linen as fnn
+    from convert_checkpoint import _gcn_block, _modulated_gconv
+    from seeme_tpu.core import synthetic_smpl
+    from seeme_tpu.models.egohmr import OPENPOSE_TO_SMPL, EgoHmr, EgoHmrConfig
+    from seeme_tpu.nn.gcn import smpl_adjacency
+
+    cfg = EgoHmrConfig(img_feat_dim=32, scene_feat_dim=16, transl_embed_dim=8,
+                       input_process_dim=12, timestep_embed_dim=16,
+                       gcn_hid_dim=24, gcn_layers=2, num_train_timesteps=50,
+                       timestep_respacing="ddim5")
+    init_betas = np.random.RandomState(3).randn(10).astype(np.float32) * 0.2
+
+    adj_t = torch.tensor(smpl_adjacency(), dtype=torch.float32)
+    tcore = TEgoCore(adj_t, cfg, torch.tensor(init_betas)).eval()
+    with torch.no_grad():
+        for m in tcore.modules():
+            if isinstance(m, tnn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+
+    B = 3
+    rng = np.random.RandomState(0)
+    kp2d = rng.randn(B, 25, 3).astype(np.float32)
+    kp2d[..., -1] = (rng.rand(B, 25) > 0.4).astype(np.float32)
+    batch_np = {
+        "img": rng.randn(B, 32).astype(np.float32),
+        "scene_pcd": rng.randn(B, 16).astype(np.float32),
+        "transl": rng.randn(B, 3).astype(np.float32),
+        "fx": np.full(B, 1.2, np.float32),
+        "cam_cx": np.full(B, 960.0, np.float32),
+        "cam_cy": np.full(B, 540.0, np.float32),
+        "box_center": rng.rand(B, 2).astype(np.float32) * 500,
+        "box_size": np.full(B, 200.0, np.float32),
+    }
+    x_t = rng.randn(B, 144).astype(np.float32)
+    t = np.array([3, 17, 42])
+
+    vis_op = torch.tensor(kp2d[..., -1] > 0)
+    vis_op[:, 8] = True
+    vis_t = vis_op[:, OPENPOSE_TO_SMPL]
+    tb = {k: torch.tensor(v) for k, v in batch_np.items()}
+    with torch.no_grad():
+        ref_pred, ref_betas = tcore(tb, torch.tensor(x_t), torch.tensor(t), vis_t)
+
+    # convert through the same key mapping convert_egohmr applies
+    sd = tcore.state_dict()
+    gcn_params, gcn_stats = {}, {}
+    p, s = _gcn_block(sd, "diffusion_model.gconv_input.0")
+    gcn_params["gconv_input"], gcn_stats["gconv_input"] = p, s
+    for i in range(cfg.gcn_layers):
+        sub_p, sub_s = {}, {}
+        for j in (1, 2):
+            p, s = _gcn_block(sd, f"diffusion_model.gconv_layers.{i}.gconv{j}")
+            sub_p[f"gconv{j}"], sub_s[f"gconv{j}"] = p, s
+        gcn_params[f"res_{i}"], gcn_stats[f"res_{i}"] = sub_p, sub_s
+    gcn_params["gconv_output"] = _modulated_gconv(sd, "diffusion_model.gconv_output")
+
+    class PassThrough(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return x
+
+    model = EgoHmr(cfg, synthetic_smpl(n_verts=64), mean_betas=init_betas)
+    model.backbone = PassThrough()
+    model.scene_enc = PassThrough()
+    params = model.init_params(jax.random.PRNGKey(0))
+    params["gcn"] = {"params": gcn_params, "batch_stats": gcn_stats}
+    params["transl_enc"] = {"params": {
+        "fc1": convert_linear(sd, "transl_enc.layers.0"),
+        "fc2": convert_linear(sd, "transl_enc.layers.2"),
+    }}
+    params["timestep_embedder"] = {"params": {
+        "linear_1": convert_linear(sd, "embed_timestep.time_embed.0"),
+        "linear_2": convert_linear(sd, "embed_timestep.time_embed.2"),
+    }}
+    params["input_process"] = {"params": convert_linear(sd, "input_process.poseEmbedding")}
+    params["beta_layer"] = {"params": {
+        "fc1": convert_linear(sd, "beta_layer.layers.0"),
+        "fc2": convert_linear(sd, "beta_layer.layers.2"),
+    }}
+
+    jb = {
+        "img": jnp.asarray(batch_np["img"]),
+        "scene_pcd": jnp.asarray(batch_np["scene_pcd"]),
+        "fx": jnp.asarray(batch_np["fx"]),
+        "cam_cx": jnp.asarray(batch_np["cam_cx"]),
+        "cam_cy": jnp.asarray(batch_np["cam_cy"]),
+        "box_center": jnp.asarray(batch_np["box_center"]),
+        "box_size": jnp.asarray(batch_np["box_size"]),
+        "orig_keypoints_2d": jnp.asarray(kp2d),
+        "smpl_params": {"transl": jnp.asarray(batch_np["transl"])},
+    }
+    out = model.forward(params, jb, jnp.asarray(x_t), jnp.asarray(t),
+                        eval_with_uncond=True)
+    np.testing.assert_allclose(np.asarray(out["pred_x_start"]),
+                               ref_pred.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pred_smpl_params"]["betas"]),
+                               ref_betas.numpy(), atol=2e-4)
