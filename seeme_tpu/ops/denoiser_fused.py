@@ -153,7 +153,7 @@ def _stylization_eo(p, h, eo):
     return _dense(p["out_linear"], jax.nn.silu(h))
 
 
-def _md_layer_t1(p, x, inv, emb=None, step=None):
+def _md_layer_t1(p, x, inv, emb=None):
     """`_md_layer` specialized to a single latent token (T=1), the flagship
     latent shape (`latent_dim: [1, 256]`).
 
@@ -162,23 +162,21 @@ def _md_layer_t1(p, x, inv, emb=None, step=None):
     the whole sa_block and then discards them; (b) the per-sample logits are
     S per-pair row contractions instead of a block-diag-masked (B*S, B*S)
     matmul, shrinking the softmax by ~B*S/1; (c) xf projections come from
-    the hoisted `inv` (see `md_step_invariants`); (d) with `step` given, the
-    time-token projections are step-sliced from the all-steps precompute
-    instead of recomputed (their rows broadcast across the batch)."""
+    the hoisted `inv` (see `md_step_invariants`); (d) when `inv` carries the
+    step-selected time-token rows (k_e/v_e/ca_eo/ffn_eo, shape (1, D) —
+    selected by the fused sampler from the all-steps precompute), they are
+    used directly and broadcast across the batch instead of recomputed."""
     sa = p["sa_block"]["self_attn"]
     D = x.shape[-1]
-    if step is None:
+    if "k_e" in inv:
+        k_e, v_e = inv["k_e"], inv["v_e"]                 # (1, D)
+        ca_eo, ffn_eo = inv["ca_eo"], inv["ffn_eo"]
+    else:
         k_e = _dense(sa["k_proj"], emb)[:, 0]             # (R, D), R in {B, 1}
         v_e = _dense(sa["v_proj"], emb)[:, 0]
         se = jax.nn.silu(emb[:, 0])
         ca_eo = _dense(p["ca_block"]["proj_out"]["emb_linear"], se)
         ffn_eo = _dense(p["ffn"]["proj_out"]["emb_linear"], se)
-    else:
-        # `step` is a (1, num_steps) one-hot row: Mosaic has no dynamic_slice
-        # on values, so the per-step row is selected by a tiny MXU matmul
-        sl = lambda a: jnp.dot(step, a, preferred_element_type=jnp.float32)
-        k_e, v_e = sl(inv["k_emb"]), sl(inv["v_emb"])     # (1, D)
-        ca_eo, ffn_eo = sl(inv["ca_eo"]), sl(inv["ffn_eo"])
 
     q_x = _dense(sa["q_proj"], x)                         # (B, 1, D)
     k_x = _dense(sa["k_proj"], x)
@@ -275,8 +273,7 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
                         freqs=None, md_trans: bool = True,
                         text_freq_dim: int = None,
                         md_invariants: Dict = None,
-                        cond_projected: bool = False,
-                        md_step=None) -> jnp.ndarray:
+                        cond_projected: bool = False) -> jnp.ndarray:
     """Pure-jnp twin of `models/denoiser.Denoiser.apply` (both block types).
 
     params: the flax param dict of `models/denoiser.Denoiser`.
@@ -291,7 +288,8 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
     D = x.shape[-1]
     n_tok = x.shape[1]
     fast_md = md_trans and n_tok == 1
-    if fast_md and md_step is not None:
+    if fast_md and md_invariants is not None and "k_e" in next(
+            iter(md_invariants.values())):
         time_emb = None  # all steps' time tokens precomputed in md_invariants
     else:
         freq_dim = text_freq_dim or cond.shape[-1] if "emb_proj_dense" in p else D
@@ -317,15 +315,14 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
             skips = []
             for i in range(n_block):
                 h = _md_layer_t1(enc[f"input_{i}"], h, inv[f"input_{i}"],
-                                 emb=time_emb, step=md_step)
+                                 emb=time_emb)
                 skips.append(h)
-            h = _md_layer_t1(enc["middle"], h, inv["middle"],
-                             emb=time_emb, step=md_step)
+            h = _md_layer_t1(enc["middle"], h, inv["middle"], emb=time_emb)
             for i in range(n_block):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = _dense(enc[f"skip_linear_{i}"], h)
                 h = _md_layer_t1(enc[f"output_{i}"], h, inv[f"output_{i}"],
-                                 emb=time_emb, step=md_step)
+                                 emb=time_emb)
             return _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
         skips = []
         for i in range(n_block):
@@ -357,7 +354,7 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
 # ------------------------------------------------------------- fused sampling
 
 def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
-                          md_trans=True):
+                          md_trans=True, unroll=False):
     do_cfg = guidance_scale > 1.0
 
     def kernel(ts_ref, acp_ref, acp_prev_ref, z_ref, cond_ref, freqs_ref,
@@ -395,19 +392,33 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
 
         def body(i, z):
             t = ts_ref[0, i]
-            step = None
-            if fast_md:  # one-hot step row for the precompute selections
-                step = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, num_steps), 1) == i
-                ).astype(jnp.float32)
+            inv_i = md_inv
+            if fast_md:
+                # select this step's time-token rows from the all-steps
+                # precompute: a static slice when the loop is unrolled
+                # (Python int i); otherwise a one-hot matmul — Mosaic has no
+                # dynamic_slice on values
+                if isinstance(i, int):
+                    sel = lambda a: jax.lax.slice_in_dim(a, i, i + 1, axis=0)
+                else:
+                    onehot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, num_steps), 1)
+                        == i
+                    ).astype(jnp.float32)
+                    sel = lambda a: jnp.dot(
+                        onehot, a, preferred_element_type=jnp.float32)
+                inv_i = {
+                    name: dict(d, k_e=sel(d["k_emb"]), v_e=sel(d["v_emb"]),
+                               ca_eo=sel(d["ca_eo"]), ffn_eo=sel(d["ffn_eo"]))
+                    for name, d in md_inv.items()
+                }
             if do_cfg:
                 # [uncond; cond] halves in one doubled batch (`mld.py:467-492`)
                 z_in = jnp.concatenate([z, z], axis=0)
                 pred = denoiser_apply_pure(
                     params, z_in, jnp.full((2 * B,), t), cond, num_layers,
                     freqs=freqs_ref[...], md_trans=md_trans,
-                    md_invariants=md_inv, cond_projected=cond_projected,
-                    md_step=step,
+                    md_invariants=inv_i, cond_projected=cond_projected,
                 )
                 uncond, cond_pred = pred[:B], pred[B:]
                 eps = uncond + guidance_scale * (cond_pred - uncond)
@@ -415,15 +426,18 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
                 eps = denoiser_apply_pure(
                     params, z, jnp.full((B,), t), cond, num_layers,
                     freqs=freqs_ref[...], md_trans=md_trans,
-                    md_invariants=md_inv, cond_projected=cond_projected,
-                    md_step=step,
+                    md_invariants=inv_i, cond_projected=cond_projected,
                 )
             acp_t = acp_ref[0, i]
             acp_prev = acp_prev_ref[0, i]
             x0 = (z - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
             return jnp.sqrt(acp_prev) * x0 + jnp.sqrt(1.0 - acp_prev) * eps
 
-        z = jax.lax.fori_loop(0, num_steps, body, z)
+        if unroll:
+            for i in range(num_steps):
+                z = body(i, z)
+        else:
+            z = jax.lax.fori_loop(0, num_steps, body, z)
         out_ref[...] = z.astype(out_ref.dtype)
 
     return kernel
@@ -431,7 +445,8 @@ def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "num_layers", "guidance_scale", "md_trans", "interpret"),
+    static_argnames=("num_steps", "num_layers", "guidance_scale", "md_trans",
+                     "unroll", "interpret"),
 )
 def ddim_fused(
     denoiser_params: Dict,
@@ -444,6 +459,11 @@ def ddim_fused(
     num_layers: int = 5,
     guidance_scale: float = 1.0,
     md_trans: bool = True,
+    # fully unroll the reverse loop (static step indices, no one-hot
+    # selections). Mathematically identical; measured compile time through
+    # the axon remote-compile tunnel exceeds 20 min for 50 steps, so the
+    # rolled fori_loop stays the default.
+    unroll: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole DDIM reverse process (epsilon prediction, eta=0) in one kernel.
@@ -463,7 +483,8 @@ def ddim_fused(
         else z0.shape[-1]
     )
     kernel = _fused_kernel_factory(
-        treedef, num_steps, num_layers, guidance_scale, md_trans
+        treedef, num_steps, num_layers, guidance_scale, md_trans,
+        unroll=unroll,
     )
 
     def kernel_entry(*refs):

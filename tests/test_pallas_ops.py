@@ -142,3 +142,13 @@ class TestFusedDenoiser:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(z), atol=0.02 * scale
         )
+
+        # the unrolled variant (static step indices) is bitwise-equivalent
+        # in spirit but reassociates the step-row selection; same envelope
+        unrolled = df.ddim_fused(
+            params, cond, z0, tsa, acp_t, acp_prev, num_steps=NS,
+            unroll=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(unrolled), np.asarray(z), atol=0.02 * scale
+        )
