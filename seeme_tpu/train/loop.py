@@ -19,7 +19,7 @@ import optax
 from typing import TYPE_CHECKING
 
 from ..parallel.mesh import batch_sharding, replicated
-from .state import TrainState
+from .state import STAGE_TRAINABLE, TrainState
 
 if TYPE_CHECKING:  # avoid a models <-> train import cycle at runtime
     from ..models.seeme import SeeMeSystem
@@ -35,11 +35,22 @@ def make_train_step(
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Build the jitted (state, batch) -> (state, metrics) step for a stage."""
     loss_fn: LossFn = system.vae_loss if stage == "vae" else system.diffusion_loss
+    trainable = set(STAGE_TRAINABLE.get(stage, ()))
 
     def step(state: TrainState, batch: Dict):
         rng, step_rng = jax.random.split(state.rng)
 
         def compute(params):
+            # Frozen subtrees match the reference's requires_grad=False
+            # (`mld.py:206-207, 267-271`). XLA already dead-code-eliminates
+            # their backward (optax.set_to_zero discards those grads —
+            # verified: step time is identical either way); stop_gradient
+            # makes the freeze explicit at the loss boundary rather than an
+            # emergent property of the optimizer mask.
+            params = {
+                k: (v if k in trainable else jax.lax.stop_gradient(v))
+                for k, v in params.items()
+            }
             loss, terms = loss_fn(params, batch, step_rng)
             return loss, terms
 
