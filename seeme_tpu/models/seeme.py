@@ -449,6 +449,10 @@ class SeeMeSystem:
             and cfg.eta == 0.0
             and cfg.md_trans
             and cfg.predict_epsilon
+            # hoisted per-layer cond invariants are (B, n_cond, d) f32 x4 x
+            # num_layers in VMEM — fine for the 1-3 ego tokens, ruinous for
+            # long token sequences
+            and cond_full.shape[1] <= 8
         ):
             # whole reverse process as one VMEM-resident Pallas kernel
             # (ops/denoiser_fused.py): ~3x faster than the XLA scan

@@ -198,7 +198,10 @@ class T2MSystem:
             )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
-        if cfg.use_fused and jax.default_backend() != "cpu":
+        # n_cond <= 8: the fused kernel keeps per-layer cond projections
+        # VMEM-resident — fine for the pooled CLIP token, ruinous for the
+        # 77-token clip_hidden/bert sequences (the scan path serves those)
+        if cfg.use_fused and jax.default_backend() != "cpu" and cond.shape[1] <= 8:
             # whole (CFG) reverse process in one VMEM-resident Pallas kernel
             from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
 

@@ -104,3 +104,30 @@ def test_gltf_export_roundtrip(tmp_path):
               bin_start + bv["byteOffset"] + bv["byteLength"]]
     track = np.frombuffer(raw, np.float32).reshape(12, 3)
     np.testing.assert_allclose(track, joints[:, 3], atol=1e-6)
+
+
+def test_export_obj_roundtrip(tmp_path):
+    """OBJ export (`results_ours_gimo/compute_trimesh.py` role): dict-npy
+    input reshapes to (N, T, V, 3) sequences and each frame file parses back
+    to the source vertices and 1-based faces."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "export_obj", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "export_obj.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+    verts = rng.randn(8, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6]])
+    path = tmp_path / "mesh.obj"
+    mod.write_obj(str(path), verts, faces)
+    lines = path.read_text().splitlines()
+    vs = np.array([[float(x) for x in l.split()[1:]]
+                   for l in lines if l.startswith("v ")])
+    fs = np.array([[int(x) for x in l.split()[1:]]
+                   for l in lines if l.startswith("f ")])
+    np.testing.assert_allclose(vs, verts, atol=1e-5)
+    np.testing.assert_array_equal(fs, faces + 1)
