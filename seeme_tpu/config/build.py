@@ -112,7 +112,7 @@ def build_t2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
     ), t2m_cfg
 
 
-def build_a2m_system(cfg: Config, datamodule):
+def build_a2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
     """Action-to-motion system for humanact12/uestc configs
     (`configs/base.yaml:89-98` action branch)."""
     from ..models.a2m import A2MConfig, A2MSystem
@@ -135,6 +135,8 @@ def build_a2m_system(cfg: Config, datamodule):
         lambda_kl=float(loss.get("LAMBDA_KL", 1e-4)),
         lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
     )
+    if use_fused is not None:
+        a2m_cfg = replace(a2m_cfg, use_fused=use_fused)
     return A2MSystem(a2m_cfg), a2m_cfg
 
 

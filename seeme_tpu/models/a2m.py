@@ -39,6 +39,8 @@ class A2MConfig:
     num_inference_timesteps: int = 50
     lambda_kl: float = 1e-4
     lambda_rec: float = 1.0
+    # fused Pallas sampling on TPU; disable for bit-faithful scan sampling
+    use_fused: bool = True
 
 
 class A2MSystem:
@@ -119,15 +121,36 @@ class A2MSystem:
         if cfg.guidance_scale > 1.0:
             cond = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
 
-        def denoiser_fn(x, t, step_rng):
-            return self.denoiser.apply(params["denoiser"], x, t, cond)
+        shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
+        if cfg.use_fused and jax.default_backend() != "cpu" and cond.shape[1] <= 8:
+            # same VMEM-resident reverse-process kernel the t2m/ego branches
+            # use (ops/denoiser_fused.py); the action embedding is a single
+            # condition token on the plain token-concat denoiser path
+            from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
 
-        z = ddim_sample(
-            denoiser_fn, self.schedule, rng,
-            (B, cfg.latent_dim[0], cfg.latent_dim[1]),
-            num_inference_steps=cfg.num_inference_timesteps,
-            guidance_scale=cfg.guidance_scale,
-        )
+            rng, init_rng = jax.random.split(rng)
+            z0 = jax.random.normal(init_rng, shape) * self.schedule.init_noise_sigma
+            tsa, acp_t, acp_prev = ddim_schedule_arrays(
+                self.schedule, cfg.num_inference_timesteps
+            )
+            z = ddim_fused(
+                params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
+                num_steps=cfg.num_inference_timesteps,
+                num_layers=cfg.num_layers,
+                guidance_scale=cfg.guidance_scale,
+                md_trans=False,
+            )
+        else:
+
+            def denoiser_fn(x, t, step_rng):
+                return self.denoiser.apply(params["denoiser"], x, t, cond)
+
+            z = ddim_sample(
+                denoiser_fn, self.schedule, rng,
+                shape,
+                num_inference_steps=cfg.num_inference_timesteps,
+                guidance_scale=cfg.guidance_scale,
+            )
         return self.vae.apply(
             params["vae"], z, cfg.num_frames, lengths, method=self.vae.decode
         )

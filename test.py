@@ -74,7 +74,9 @@ def main():
     elif is_a2m:
         from seeme_tpu.config.build import build_a2m_system
 
-        system, sys_cfg = build_a2m_system(cfg, datamodule)
+        system, sys_cfg = build_a2m_system(
+            cfg, datamodule, use_fused=bool(cfg.select("TEST.USE_FUSED", False))
+        )
     else:
         # parity evals run the bit-faithful XLA scan by default; the ~0.8%-
         # deviating fused Pallas sampler is an explicit opt-in here (demo.py
