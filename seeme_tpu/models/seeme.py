@@ -412,6 +412,27 @@ class SeeMeSystem:
         return x0_losses(pred, z)
 
     # ---------------------------------------------------------------- sampling
+    def encode_conditioning(self, params: Dict, batch: Dict) -> jnp.ndarray:
+        """Eval-time condition tokens, CFG-doubled when guidance > 1.
+
+        Deterministic in (params, batch) — the frozen interactee-VAE /
+        PointNet / ResNet encodes — so eval harnesses may compute it once per
+        batch and reuse it across replications (`test.py` does; only the
+        reverse diffusion below consumes randomness)."""
+        cfg = self.cfg
+        cond = self._condition_tokens(params, batch, None, train=False)
+        if cfg.guidance_scale > 1.0:
+            uncond_batch = dict(batch)
+            uncond_batch["feats"] = jnp.zeros_like(batch["feats"])
+            uncond_batch["transl"] = jnp.zeros_like(batch["transl"])
+            if self.use_scene:
+                uncond_batch["scene"] = jnp.zeros_like(batch["scene"])
+            if self.use_image:
+                uncond_batch["image"] = jnp.zeros_like(batch["image"])
+            uncond = self._condition_tokens(params, uncond_batch, None, train=False)
+            return jnp.concatenate([uncond, cond], axis=0)  # [uncond; cond]
+        return cond
+
     def sample(
         self,
         params: Dict,
@@ -424,22 +445,19 @@ class SeeMeSystem:
         The `ego_eval` inference path (`mld.py:1269-1364`) with the reverse
         process as one lax.scan. Returns normalized features (B, T, nfeats).
         """
-        cfg = self.cfg
-        cond = self._condition_tokens(params, batch, None, train=False)
-        B = cond.shape[0]
+        cond_full = self.encode_conditioning(params, batch)
+        return self.sample_from_cond(params, cond_full, rng, lengths)
 
-        if cfg.guidance_scale > 1.0:
-            uncond_batch = dict(batch)
-            uncond_batch["feats"] = jnp.zeros_like(batch["feats"])
-            uncond_batch["transl"] = jnp.zeros_like(batch["transl"])
-            if self.use_scene:
-                uncond_batch["scene"] = jnp.zeros_like(batch["scene"])
-            if self.use_image:
-                uncond_batch["image"] = jnp.zeros_like(batch["image"])
-            uncond = self._condition_tokens(params, uncond_batch, None, train=False)
-            cond_full = jnp.concatenate([uncond, cond], axis=0)  # [uncond; cond]
-        else:
-            cond_full = cond
+    def sample_from_cond(
+        self,
+        params: Dict,
+        cond_full: jnp.ndarray,
+        rng: jax.Array,
+        lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Reverse diffusion + VAE decode from precomputed condition tokens."""
+        cfg = self.cfg
+        B = cond_full.shape[0] // (2 if cfg.guidance_scale > 1.0 else 1)
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[-1])
         if (
