@@ -431,3 +431,317 @@ def test_reference_a2m_gru_classifier_parity(ref):
                           jnp.asarray(lengths.numpy()))
     np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
                                atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# EgoHMR-side modules — the genuine ResnetPointnet / ResNet50 / ModulatedGCN
+# / FCHead (`EgoHMR/models/respointnet.py:6-97`, `resnet.py:99-151`,
+# `modulated_gcn/*`, `prohmr/fc_head.py:7-52`)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_egohmr(ref):
+    """EgoHMR namespace packages (resolved via /root/reference on sys.path)."""
+    import importlib
+
+    ns = SimpleNamespace()
+    ns.respointnet = importlib.import_module("EgoHMR.models.respointnet")
+    ns.resnet = importlib.import_module("EgoHMR.models.resnet")
+    ns.modulated_gcn = importlib.import_module(
+        "EgoHMR.models.egohmr.modulated_gcn.modulated_gcn")
+    ns.fc_head = importlib.import_module("EgoHMR.models.prohmr.fc_head")
+    ns.smpl_flow = importlib.import_module("EgoHMR.models.prohmr.smpl_flow")
+    ns.geometry = importlib.import_module("EgoHMR.utils.geometry")
+    return ns
+
+
+def _randomize_bn_stats(module: torch.nn.Module, seed=0) -> None:
+    """Fresh BN running stats are (0, 1); randomize so conversion of the
+    stats actually participates in the parity check."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.3, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def test_reference_respointnet_parity(ref_egohmr):
+    torch.manual_seed(29)
+    tpn = ref_egohmr.respointnet.ResnetPointnet(out_dim=8, hidden_dim=16).eval()
+
+    pts = torch.randn(2, 50, 3)
+    with torch.no_grad():
+        out_t = tpn(pts)
+
+    from convert_checkpoint import convert_pointnet
+    from seeme_tpu.nn.pointnet import ResnetPointnet
+
+    params = convert_pointnet(tpn.state_dict())
+    out_j = ResnetPointnet(out_dim=8, hidden_dim=16).apply(
+        params, jnp.asarray(pts.numpy()))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+
+
+def test_reference_resnet50_parity(ref_egohmr):
+    torch.manual_seed(31)
+    tnet = ref_egohmr.resnet.ResNet(
+        ref_egohmr.resnet.Bottleneck, [3, 4, 6, 3]).eval()
+    _randomize_bn_stats(tnet, seed=31)
+
+    img = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        out_t = tnet(img)  # (2, 2048) pooled
+
+    from convert_checkpoint import convert_resnet50
+    from seeme_tpu.nn.resnet import resnet50
+
+    variables = convert_resnet50(tnet.state_dict())
+    out_j = resnet50().apply(
+        variables, jnp.asarray(img.permute(0, 2, 3, 1).numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_reference_modulated_gcn_parity(ref_egohmr):
+    torch.manual_seed(37)
+    J, in_dim, hid, out_dim, L = 6, 10, 16, 6, 2
+    adj = torch.rand(J, J)
+    adj = (adj + adj.t()) / 2
+    tgcn = ref_egohmr.modulated_gcn.ModulatedGCN(
+        adj, in_dim=in_dim, out_dim=out_dim, hid_dim=hid, num_layers=L).eval()
+    _randomize_bn_stats(tgcn, seed=37)
+
+    x = torch.randn(3, J, in_dim)
+    with torch.no_grad():
+        out_t = tgcn(x)
+
+    from convert_checkpoint import _gcn_block, _modulated_gconv
+    from seeme_tpu.nn.gcn import ModulatedGCN
+
+    sd = tgcn.state_dict()
+    gcn_params, gcn_stats = {}, {}
+    p, s = _gcn_block(sd, "gconv_input.0")
+    gcn_params["gconv_input"], gcn_stats["gconv_input"] = p, s
+    for i in range(L):
+        sub_p, sub_s = {}, {}
+        for jb in (1, 2):
+            p, s = _gcn_block(sd, f"gconv_layers.{i}.gconv{jb}")
+            sub_p[f"gconv{jb}"], sub_s[f"gconv{jb}"] = p, s
+        gcn_params[f"res_{i}"], gcn_stats[f"res_{i}"] = sub_p, sub_s
+    gcn_params["gconv_output"] = _modulated_gconv(sd, "gconv_output")
+
+    m = ModulatedGCN(adj=adj.numpy(), hid_dim=hid, out_dim=out_dim,
+                     num_layers=L)
+    out_j = m.apply({"params": gcn_params, "batch_stats": gcn_stats},
+                    jnp.asarray(x.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _prohmr_cfg_stub(tmp_path, ctx_dim, flow_dim=6, num_features=16):
+    mean = {"cam": np.array([0.9, 0.01, -0.02], np.float32),
+            "shape": np.linspace(-0.5, 0.5, 10).astype(np.float32)}
+    npz = tmp_path / "smpl_mean_params.npz"
+    np.savez(npz, **mean)
+    cfg = SimpleNamespace(
+        MODEL=SimpleNamespace(
+            FLOW=SimpleNamespace(DIM=flow_dim, LAYER_HIDDEN_FEATURES=16,
+                                 NUM_LAYERS=2, LAYER_DEPTH=2),
+            FC_HEAD=SimpleNamespace(NUM_FEATURES=num_features),
+        ),
+        SMPL=SimpleNamespace(MEAN_PARAMS=str(npz)),
+    )
+    return cfg, mean
+
+
+def test_reference_fc_head_parity(ref_egohmr, tmp_path):
+    torch.manual_seed(41)
+    ctx_dim = 12
+    cfg, mean = _prohmr_cfg_stub(tmp_path, ctx_dim)
+    thead = ref_egohmr.fc_head.FCHead(cfg, ctx_dim).eval()
+
+    B = 3
+    feats = torch.randn(B, ctx_dim)
+    smpl_params = {"body_pose": torch.zeros(B, 2, 23, 3, 3)}  # only .shape[1] read
+    with torch.no_grad():
+        betas_t, cam_t = thead(smpl_params, feats)
+
+    from seeme_tpu.models.prohmr import FCHead
+
+    sd = thead.state_dict()
+    params = {"params": {
+        "fc1": {"kernel": np.asarray(sd["layers.0.weight"]).T,
+                "bias": np.asarray(sd["layers.0.bias"])},
+        "fc2": {"kernel": np.asarray(sd["layers.2.weight"]).T,
+                "bias": np.asarray(sd["layers.2.bias"])},
+    }}
+    offset = FCHead(num_features=16).apply(params, jnp.asarray(feats.numpy()))
+    betas_j = np.asarray(offset[:, :10]) + mean["shape"][None]
+    cam_j = np.asarray(offset[:, 10:]) + mean["cam"][None]
+    np.testing.assert_allclose(
+        np.broadcast_to(betas_j[:, None], betas_t.shape), betas_t.numpy(),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.broadcast_to(cam_j[:, None], cam_t.shape), cam_t.numpy(), atol=1e-5)
+
+
+def test_reference_smpl_flow_composed_parity(ref_egohmr, tmp_path):
+    """SMPLFlow.forward z-mode + log_prob — flow + FCHead + the prohmr rot6d
+    convention composed, against the genuine SMPLFlow (`smpl_flow.py:36-120`).
+    flow dim must be 144 (24 joints x rot6d) for the internal reshape."""
+    torch.manual_seed(43)
+    ctx_dim = 10
+    cfg, mean = _prohmr_cfg_stub(tmp_path, ctx_dim, flow_dim=144)
+    tflow = ref_egohmr.smpl_flow.SMPLFlow(cfg, ctx_dim)
+    warm = {"global_orient": torch.randn(32, 1, 6),
+            "body_pose": torch.randn(32, 1, 138)}
+    tflow.train()
+    tflow.log_prob(warm, torch.randn(32, ctx_dim))  # real ActNorm init
+    tflow.eval()
+
+    B = 3
+    feats = torch.randn(B, ctx_dim)
+    z = torch.randn(B, 1, 144)
+    z[0] = 0.0  # include the mode sample
+    gt = {"global_orient": torch.randn(B, 1, 6),
+          "body_pose": torch.randn(B, 1, 138)}
+    with torch.no_grad():
+        lp_t, zgt_t = tflow.log_prob(gt, feats)
+        smpl_t, cam_t, slp_t, _, pose6d_t = tflow(feats, z=z)
+
+    from seeme_tpu.core.rotations import rot6d_to_rotmat
+    from seeme_tpu.models.prohmr import FCHead
+
+    cfg_j = GlowConfig(features=144, hidden_features=16, num_layers=2,
+                       num_blocks_per_layer=2, context_features=ctx_dim)
+    sd = {f"flow.{k}": v for k, v in tflow.flow.state_dict().items()}
+    glow_params = convert_glow(sd, "flow", 2, 2)
+
+    gt_j = jnp.asarray(
+        torch.cat([gt["global_orient"], gt["body_pose"]], dim=-1)
+        .reshape(B, 144).numpy())
+    lp_j, zgt_j = glow_log_prob(glow_params, cfg_j, gt_j,
+                                jnp.asarray(feats.numpy()))
+    np.testing.assert_allclose(np.asarray(lp_j), lp_t.reshape(B).numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(zgt_j),
+                               zgt_t.reshape(B, 144).numpy(), atol=1e-4)
+
+    samples_j, slp_j, _ = glow_sample_and_log_prob(
+        glow_params, cfg_j, 1, jnp.asarray(feats.numpy()),
+        noise=jnp.asarray(z.numpy()))
+    np.testing.assert_allclose(np.asarray(slp_j), slp_t.reshape(B).numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(samples_j),
+                               pose6d_t.reshape(B, 144).numpy(), atol=1e-4)
+
+    rotmats_j = np.asarray(rot6d_to_rotmat(
+        jnp.asarray(np.asarray(samples_j).reshape(B, 24, 6)), mode="prohmr"))
+    ref_rots = torch.cat(
+        [smpl_t["global_orient"], smpl_t["body_pose"]], dim=2)
+    np.testing.assert_allclose(rotmats_j,
+                               ref_rots.reshape(B, 24, 3, 3).numpy(),
+                               atol=1e-5)
+
+    fc_sd = tflow.fc_head.state_dict()
+    fc_params = {"params": {
+        "fc1": {"kernel": np.asarray(fc_sd["layers.0.weight"]).T,
+                "bias": np.asarray(fc_sd["layers.0.bias"])},
+        "fc2": {"kernel": np.asarray(fc_sd["layers.2.weight"]).T,
+                "bias": np.asarray(fc_sd["layers.2.bias"])},
+    }}
+    offset = FCHead(num_features=16).apply(fc_params,
+                                           jnp.asarray(feats.numpy()))
+    betas_j = np.asarray(offset[:, :10]) + mean["shape"][None]
+    cam_j = np.asarray(offset[:, 10:]) + mean["cam"][None]
+    np.testing.assert_allclose(betas_j, smpl_t["betas"].reshape(B, 10).numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(cam_j, cam_t.reshape(B, 3).numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# EgoHMR gaussian-diffusion library golden (`EgoHMR/diffusion/
+# gaussian_diffusion.py`, `respace.py:8-130`): cosine betas, respacing,
+# q_sample, and a full deterministic DDIM chain
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_diffusion(ref):
+    import importlib
+
+    # the EgoHMR diffusion package imports itself as top-level `diffusion`
+    p = str(REFERENCE / "EgoHMR")
+    if p not in sys.path:
+        sys.path.append(p)
+    ns = SimpleNamespace()
+    ns.gd = importlib.import_module("diffusion.gaussian_diffusion")
+    ns.respace = importlib.import_module("diffusion.respace")
+    return ns
+
+
+def test_reference_cosine_betas_and_respacing(ref_diffusion):
+    from seeme_tpu.diffusion.schedulers import make_betas, space_timesteps
+
+    T = 100
+    betas_t = ref_diffusion.gd.get_named_beta_schedule("cosine", T, 1.0)
+    betas_j = make_betas(T, 0.0, 0.0, "squaredcos_cap_v2")
+    np.testing.assert_allclose(betas_j, betas_t, atol=1e-12)
+
+    for spec in ("ddim5", [10], [4, 4, 2]):
+        use_t = sorted(ref_diffusion.respace.space_timesteps(T, spec))
+        use_j = sorted(space_timesteps(T, spec))
+        assert list(use_j) == list(use_t), spec
+
+
+def test_reference_spaced_ddim_chain_golden(ref_diffusion):
+    from seeme_tpu.diffusion.schedulers import (
+        DiffusionSchedule,
+        respaced_schedule,
+        space_timesteps,
+    )
+
+    T, B, D = 100, 2, 8
+    betas = ref_diffusion.gd.get_named_beta_schedule("cosine", T, 1.0)
+    spaced = ref_diffusion.respace.SpacedDiffusion(
+        use_timesteps=ref_diffusion.respace.space_timesteps(T, "ddim5"),
+        betas=betas)
+
+    base = DiffusionSchedule(num_train_timesteps=T,
+                             beta_schedule="squaredcos_cap_v2",
+                             set_alpha_to_one=True, steps_offset=0,
+                             prediction_type="sample", clip_sample=False)
+    sched, tmap = respaced_schedule(base, space_timesteps(T, "ddim5"))
+    assert list(tmap) == list(spaced.timestep_map)
+    np.testing.assert_allclose(np.asarray(sched.betas), spaced.betas,
+                               rtol=1e-4, atol=1e-7)
+
+    # q_sample parity on the spaced process
+    torch.manual_seed(47)
+    x0 = torch.randn(B, D)
+    noise = torch.randn(B, D)
+    t_sp = torch.tensor([1, 3])
+    q_t = spaced.q_sample(x0, t_sp, noise=noise)
+    q_j = sched.add_noise(jnp.asarray(x0.numpy()), jnp.asarray(noise.numpy()),
+                          jnp.asarray(t_sp.numpy()))
+    np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), atol=1e-5)
+
+    # full deterministic DDIM chain (eta=0) with an x0-predicting dummy whose
+    # output depends on both x_t and the (mapped) timestep
+    def model_t(batch, ts):
+        x = batch["x_t"]
+        return {"pred_x_start": torch.tanh(x) * 0.5
+                + 0.001 * ts.float()[:, None]}
+
+    start = torch.randn(B, D)
+    out_t = spaced.ddim_sample_loop(
+        model_t, {}, (B, D), noise=start.clone(), clip_denoised=False,
+        device="cpu", eta=0.0)["sample"]
+
+    x = jnp.asarray(start.numpy())
+    n_steps = sched.num_train_timesteps
+    for i in reversed(range(n_steps)):
+        pred = jnp.tanh(x) * 0.5 + 0.001 * float(tmap[i])
+        x = sched.ddim_step(pred, jnp.int32(i), x,
+                            num_inference_steps=n_steps)
+    np.testing.assert_allclose(np.asarray(x), out_t.numpy(), atol=1e-5)
