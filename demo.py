@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """Demo CLI: sample motions from a trained model and export npy/video.
 
-The reference `demo.py` supports text-file-driven and reconstruction modes
-with npy export + optional render; this mirrors that surface for the ego
-pipeline (conditions come from the test split) and the text pipeline
-(captions from --text / --example file)."""
+Mirrors the reference `demo.py:25-332` surface with dataset dispatch like
+`test.py`:
+  * ego configs (egobody/gimo): sample the wearer from test-split conditions,
+    optional SMPL mesh export + joints render.
+  * text configs (humanml3d/kit): caption-driven sampling from an --example
+    file ("<length> <caption>" per line, `mld/utils/demo_utils.py:6-20`),
+    test-split captions by default, --task random_sampling for prior-latent
+    decoding, --task reconstruction for VAE round-trips.
+  * action configs (humanact12/uestc): class-conditional sampling via
+    --actions.
+"""
 
 from __future__ import annotations
 
@@ -12,7 +19,7 @@ import argparse
 import os
 
 
-def main():
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--cfg_assets", default=None)
@@ -21,23 +28,72 @@ def main():
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--mesh", action="store_true",
-                    help="also export sample_{i}_mesh.npy SMPL vertex "
+                    help="(ego) also export sample_{i}_mesh.npy SMPL vertex "
                          "sequences (full LBS) for render.py --mesh")
-    ap.add_argument("--example", default=None, help="text file with one caption per line")
-    args = ap.parse_args()
+    ap.add_argument("--example", default=None,
+                    help="text file, one '<length> <caption>' per line "
+                         "(plain caption lines get --length)")
+    ap.add_argument("--task", default=None,
+                    choices=["text_motion", "random_sampling",
+                             "reconstruction"],
+                    help="text-config mode when no --example is given")
+    ap.add_argument("--length", type=int, default=None,
+                    help="default motion length for caption lines without one")
+    ap.add_argument("--actions", default=None,
+                    help="comma-separated class ids for action configs "
+                         "(default: first num_samples classes)")
+    ap.add_argument("--replication", type=int, default=1,
+                    help="samples per caption/action (`cfg.DEMO.REPLICATION`)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (applied after jax import; "
+                         "the axon plugin overrides JAX_PLATFORMS)")
+    return ap.parse_args()
 
-    import jax
+
+def load_example_input(txt_path, default_len):
+    """Reference example-file format (`mld/utils/demo_utils.py:6-20`):
+    '<length> <caption...>' per line; tolerate plain caption lines."""
+    texts, lens = [], []
+    with open(txt_path) as f:
+        for raw in f:
+            s = raw.strip()
+            if not s:
+                continue
+            head = s.split(" ")[0]
+            try:
+                lens.append(int(head))
+                texts.append(s[len(head) + 1:])
+            except ValueError:
+                lens.append(default_len)
+                texts.append(s)
+    return texts, lens
+
+
+def _render_all(paths, out_dir):
+    from seeme_tpu.render.joints import render_joints_video
     import numpy as np
 
-    from seeme_tpu.config import load_config
-    from seeme_tpu.config.build import build_system
-    from seeme_tpu.data import get_datamodule
+    for p in paths:
+        joints = np.load(p)
+        gif = render_joints_video(
+            joints, p.replace(".npy", ".gif"),
+            title=os.path.basename(p)[:-4])
+        print(f"rendered {gif}")
+
+
+def _demo_text(args, cfg, datamodule):
+    """Text-to-motion demo (`demo.py:101-260` text2motion / random /
+    reconstruction modes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seeme_tpu.config.build import build_t2m_system
     from seeme_tpu.train.checkpoint import restore_params
 
-    cfg = load_config(args.cfg, args.cfg_assets)
-    datamodule = get_datamodule(cfg)
-    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
-    params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
+    system, sys_cfg = build_t2m_system(cfg, datamodule)
+    params = system.init_params(
+        jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
     if ckpt and os.path.exists(ckpt):
         params = restore_params(ckpt, params)
@@ -45,17 +101,150 @@ def main():
     else:
         print("no checkpoint — sampling from random init")
 
-    os.makedirs(args.out, exist_ok=True)
+    default_len = args.length or int(cfg.select("DATASET.SAMPLER.MAX_LEN", 196))
+    task = args.task or "text_motion"
+    rng = jax.random.PRNGKey(0)
+    saved = []
+
+    if task == "reconstruction" and args.example is None:
+        # VAE round-trip of test motions (`demo.py` reconstruction branch)
+        recon = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
+        batch_np = next(datamodule.batches("test", args.num_samples,
+                                           shuffle=False))
+        batch_np.pop("text", None)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        feats_rst = recon(params, batch, rng)
+        joints = np.asarray(datamodule.feats2joints(feats_rst))
+        joints_gt = np.asarray(datamodule.feats2joints(batch["motion"]))
+        for i in range(args.num_samples):
+            L = int(batch_np["length"][i])
+            for name, arr in (("rec", joints[i, :L]), ("gt", joints_gt[i, :L])):
+                p = os.path.join(args.out, f"{name}_{i}.npy")
+                np.save(p, arr)
+                saved.append(p)
+        return saved
+
+    if task == "random_sampling" and args.example is None:
+        # latent-prior sampling: z ~ N(0, 1) decoded by the VAE
+        z = jax.random.normal(
+            rng, (args.num_samples,) + tuple(sys_cfg.latent_dim))
+        lengths = jnp.full((args.num_samples,), default_len, jnp.int32)
+        feats = system.vae.apply(params["vae"], z, sys_cfg.max_len, lengths,
+                                 method=system.vae.decode)
+        joints = np.asarray(datamodule.feats2joints(feats))
+        for i in range(args.num_samples):
+            p = os.path.join(args.out, f"random_{i}.npy")
+            np.save(p, joints[i, :default_len])
+            saved.append(p)
+        return saved
+
+    # caption-driven sampling: --example file, else test-split captions
+    if args.example:
+        texts, lens = load_example_input(args.example, default_len)
+    else:
+        batch_np = next(datamodule.batches("test", args.num_samples,
+                                           shuffle=False))
+        texts = list(batch_np.get("text", []))[: args.num_samples]
+        lens = [int(x) for x in batch_np["length"][: args.num_samples]]
+        if not texts:
+            raise SystemExit(
+                "dataset provides no captions; pass --example captions.txt")
+    text_emb = jnp.asarray(system.text_encoder(texts))
+    lengths = jnp.asarray(np.array(lens, np.int32))
+    sample = jax.jit(lambda p, t, r: system.sample(p, t, r, lengths=lengths))
+    with open(os.path.join(args.out, "captions.txt"), "w") as f:
+        for L, t in zip(lens, texts):
+            f.write(f"{L} {t}\n")
+    for rep in range(args.replication):
+        rng, sr = jax.random.split(rng)
+        feats = sample(params, text_emb, sr)
+        joints = np.asarray(datamodule.feats2joints(feats))
+        for i, (L, text) in enumerate(zip(lens, texts)):
+            suffix = f"_{rep}" if args.replication > 1 else ""
+            p = os.path.join(args.out, f"sample_{i}{suffix}.npy")
+            np.save(p, joints[i, :L])
+            saved.append(p)
+            print(f"[{i}] len={L} {text!r} -> {p}")
+    return saved
+
+
+def _demo_action(args, cfg, datamodule):
+    """Action-to-motion demo: class-conditional sampling + FK to joints."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seeme_tpu.config.build import build_a2m_system, load_smpl_or_synthetic
+    from seeme_tpu.train.checkpoint import restore_params
+
+    system, sys_cfg = build_a2m_system(cfg, datamodule)
+    params = system.init_params(
+        jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
+    ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    if ckpt and os.path.exists(ckpt):
+        params = restore_params(ckpt, params)
+        print(f"loaded {ckpt}")
+    else:
+        print("no checkpoint — sampling from random init")
+
+    if args.actions:
+        action_ids = [int(x) for x in args.actions.split(",")]
+    else:
+        action_ids = list(range(min(args.num_samples, sys_cfg.num_classes)))
+    labels = jnp.asarray(np.array(action_ids, np.int32))
+    smpl = load_smpl_or_synthetic(cfg)
+    sample = jax.jit(lambda p, a, r: system.sample(p, a, r))
+    fk = jax.jit(lambda f: system.feats_to_joints(smpl, f))
+
+    rng = jax.random.PRNGKey(0)
+    saved = []
+    names = getattr(datamodule, "action_names", None)
+    for rep in range(args.replication):
+        rng, sr = jax.random.split(rng)
+        feats = sample(params, labels, sr)
+        joints = np.asarray(fk(feats))
+        for i, a in enumerate(action_ids):
+            label = names[a] if names and a < len(names) else str(a)
+            suffix = f"_{rep}" if args.replication > 1 else ""
+            p = os.path.join(args.out, f"action_{a}{suffix}.npy")
+            np.save(p, joints[i])
+            saved.append(p)
+            print(f"action {a} ({label}) -> {p}")
+    return saved
+
+
+def _demo_ego(args, cfg, datamodule):
+    """Ego demo: wearer sampling from test-split conditions (+ mesh export)."""
+    import jax
+    import numpy as np
+
+    from seeme_tpu.config.build import build_system
+    from seeme_tpu.train.checkpoint import restore_params
+
+    system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
+    params = system.init_params(
+        jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
+    ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    if ckpt and os.path.exists(ckpt):
+        params = restore_params(ckpt, params)
+        print(f"loaded {ckpt}")
+    else:
+        print("no checkpoint — sampling from random init")
+
     rng = jax.random.PRNGKey(0)
     batch_np = next(datamodule.batches("test", args.num_samples, shuffle=False))
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
-    out = jax.jit(lambda p, b, r: system.eval_outputs(p, b, r))(params, batch, rng)
+    out = jax.jit(lambda p, b, r: system.eval_outputs(p, b, r))(
+        params, batch, rng)
 
     joints = np.asarray(out["joints_rst"])
     joints_gt = np.asarray(out["joints_ref"])
+    saved = []
     for i in range(args.num_samples):
-        np.save(os.path.join(args.out, f"sample_{i}.npy"), joints[i])
+        p = os.path.join(args.out, f"sample_{i}.npy")
+        np.save(p, joints[i])
         np.save(os.path.join(args.out, f"gt_{i}.npy"), joints_gt[i])
+        saved.append(p)
     print(f"saved {args.num_samples} samples to {args.out}/")
 
     if args.mesh:
@@ -84,6 +273,35 @@ def main():
                 gt_joints=joints_gt[i], title=f"sample {i}",
             )
             print(f"rendered {path}")
+        return []
+    return saved
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from seeme_tpu.config import load_config
+    from seeme_tpu.data import get_datamodule
+
+    cfg = load_config(args.cfg, args.cfg_assets)
+    datamodule = get_datamodule(cfg)
+    os.makedirs(args.out, exist_ok=True)
+
+    name = str(cfg.get("DATASET_NAME"))
+    if name in ("humanml3d", "kit"):
+        saved = _demo_text(args, cfg, datamodule)
+    elif name in ("humanact12", "uestc"):
+        saved = _demo_action(args, cfg, datamodule)
+    else:
+        saved = _demo_ego(args, cfg, datamodule)
+
+    if args.render and saved:
+        _render_all(saved, args.out)
 
 
 if __name__ == "__main__":

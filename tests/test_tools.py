@@ -131,3 +131,53 @@ def test_export_obj_roundtrip(tmp_path):
                    for l in lines if l.startswith("f ")])
     np.testing.assert_allclose(vs, verts, atol=1e-5)
     np.testing.assert_array_equal(fs, faces + 1)
+
+
+@pytest.mark.slow
+def test_demo_text_example_mode(tmp_path):
+    """demo.py drives text-to-motion sampling from an --example captions
+    file (reference `demo.py:47-52` + `demo_utils.py:6-20`)."""
+    cap = tmp_path / "captions.txt"
+    cap.write_text("24 a person walks forward\n20 a person sits down\n")
+    out = tmp_path / "out"
+    result = subprocess.run(
+        [sys.executable, "demo.py", "--cfg",
+         "configs/config_mld_humanml3d.yaml", "--example", str(cap),
+         "--out", str(out), "--cpu"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr
+    assert (out / "sample_0.npy").exists()
+    assert (out / "sample_1.npy").exists()
+    assert (out / "captions.txt").read_text().startswith("24 a person walks")
+    j0 = np.load(out / "sample_0.npy")
+    assert j0.shape == (24, 22, 3)  # trimmed to the requested length
+    j1 = np.load(out / "sample_1.npy")
+    assert j1.shape == (20, 22, 3)
+
+
+@pytest.mark.slow
+def test_demo_reconstruction_and_action_modes(tmp_path):
+    """demo.py --task reconstruction round-trips test motions; action
+    configs dispatch to class-conditional sampling."""
+    out = tmp_path / "rec"
+    result = subprocess.run(
+        [sys.executable, "demo.py", "--cfg",
+         "configs/config_mld_humanml3d.yaml", "--task", "reconstruction",
+         "--num_samples", "2", "--out", str(out), "--cpu"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr
+    assert (out / "rec_0.npy").exists() and (out / "gt_1.npy").exists()
+
+    out2 = tmp_path / "a2m"
+    result = subprocess.run(
+        [sys.executable, "demo.py", "--cfg",
+         "configs/config_mld_humanact12.yaml", "--actions", "0,3",
+         "--out", str(out2), "--cpu"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr
+    a0 = np.load(out2 / "action_0.npy")
+    assert a0.ndim == 3 and a0.shape[1:] == (24, 3)
+    assert (out2 / "action_3.npy").exists()
