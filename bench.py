@@ -121,12 +121,15 @@ def main():
 
     # model FLOPs utilization against the measured matmul roofline. XLA's
     # cost analysis counts a fori_loop body once regardless of trip count, so
-    # analyze ONE window and scale by ITERS. (Pallas custom calls are opaque
-    # to the analysis, so the DDIM kernel's flops are NOT counted — mfu_pct
-    # is a lower bound and honest context, not the target; the model is tiny
-    # and latency-bound.)
-    mfu_pct = None
+    # analyze ONE window and scale by ITERS. Pallas custom calls are opaque
+    # to the analysis, so the DDIM kernel's flops — the bulk of the window's
+    # arithmetic — are added analytically from the weight shapes
+    # (`ops/denoiser_fused.fused_ddim_flops`); mfu_pct is the total,
+    # mfu_pct_xla_visible the old lower bound kept for comparability.
+    mfu_pct = mfu_pct_xla = None
     try:
+        from seeme_tpu.ops.denoiser_fused import fused_ddim_flops
+
         cost = (
             jax.jit(sample_window)
             .lower(params, batch["feats"], batch["transl"], scene_tokens, rng)
@@ -134,11 +137,16 @@ def main():
             .cost_analysis()
         )
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0)) * ITERS
-        if flops > 0:
-            mfu_pct = round(
-                100.0 * flops / max(best - RELAY_S, 1e-9) / MEASURED_PEAK_FLOPS, 2
-            )
+        xla_flops = float(cost.get("flops", 0.0)) * ITERS
+        kernel_flops = fused_ddim_flops(
+            params["denoiser"], batch=BATCH, n_cond=2,
+            num_steps=cfg.num_inference_timesteps, num_layers=cfg.num_layers,
+            guidance_scale=cfg.guidance_scale,
+        ) * ITERS
+        denom = max(best - RELAY_S, 1e-9) * MEASURED_PEAK_FLOPS
+        if xla_flops > 0:
+            mfu_pct_xla = round(100.0 * xla_flops / denom, 2)
+            mfu_pct = round(100.0 * (xla_flops + kernel_flops) / denom, 2)
     except Exception:
         pass
 
@@ -155,6 +163,7 @@ def main():
         "median_s": round(med, 5),
         "relay_adjustment_s": RELAY_S,
         "mfu_pct": mfu_pct,
+        "mfu_pct_xla_visible": mfu_pct_xla,
     }))
 
 
