@@ -150,8 +150,11 @@ def _demo_text(args, cfg, datamodule):
             raise SystemExit(
                 "dataset provides no captions; pass --example captions.txt")
     text_emb = jnp.asarray(system.text_encoder(texts))
+    tmask = system.text_encoder.token_mask(texts)
+    cond_mask = None if tmask is None else jnp.asarray(tmask)
     lengths = jnp.asarray(np.array(lens, np.int32))
-    sample = jax.jit(lambda p, t, r: system.sample(p, t, r, lengths=lengths))
+    sample = jax.jit(lambda p, t, r: system.sample(
+        p, t, r, lengths=lengths, cond_mask=cond_mask))
     with open(os.path.join(args.out, "captions.txt"), "w") as f:
         for L, t in zip(lens, texts):
             f.write(f"{L} {t}\n")

@@ -111,6 +111,7 @@ class Denoiser(nn.Module):
         cond: jnp.ndarray,         # (B, n_cond_tokens, text_encoded_dim)
         lengths: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        cond_mask: Optional[jnp.ndarray] = None,  # (B, n_cond) True = valid
     ) -> jnp.ndarray:
         B = sample.shape[0]
         n_latent = sample.shape[1]
@@ -127,6 +128,11 @@ class Denoiser(nn.Module):
         else:
             cond_emb = cond
 
+        # fixed-length padded condition tokens (clip_hidden/bert) are excluded
+        # from attention, not merely zeroed (the reference pads only to the
+        # longest caption in the batch — ADVICE r2)
+        ones1 = jnp.ones((B, 1), bool)
+
         if self.arch == "trans_dec":
             # tgt = (embedded) sample tokens; memory = [time; cond] tokens
             # (`mld_denoiser.py:222-239`)
@@ -135,7 +141,10 @@ class Denoiser(nn.Module):
             memory = jnp.concatenate([time_emb, cond_emb], axis=1)
             xseq = self.query_pos(sample)
             memory = self.mem_pos(memory)
-            out = self.decoder(xseq, memory, deterministic=deterministic)
+            mem_valid = (None if cond_mask is None
+                         else jnp.concatenate([ones1, cond_mask], axis=1))
+            out = self.decoder(xseq, memory, memory_valid_mask=mem_valid,
+                               deterministic=deterministic)
             if self.diffusion_only:
                 out = self.pose_proj(out)
                 if lengths is not None:
@@ -148,7 +157,12 @@ class Denoiser(nn.Module):
             xseq = jnp.concatenate([time_emb, cond_emb, sample], axis=1)
             n_prefix = 1 + cond_emb.shape[1]
             xseq = self.query_pos(xseq)
-            tokens = self.encoder(xseq, deterministic=deterministic)
+            key_valid = None
+            if cond_mask is not None:
+                frames = jnp.ones((B, sample.shape[1]), bool)
+                key_valid = jnp.concatenate([ones1, cond_mask, frames], axis=1)
+            tokens = self.encoder(xseq, deterministic=deterministic,
+                                  key_valid_mask=key_valid)
             out = self.pose_proj(tokens[:, n_prefix:])
             if lengths is not None:
                 mask = lengths_to_mask(lengths, out.shape[1])
@@ -158,11 +172,17 @@ class Denoiser(nn.Module):
         if self.md_trans:
             xseq = self.query_pos(sample)
             tokens = self.encoder(
-                xseq, deterministic=deterministic, xf=cond_emb, emb=time_emb
+                xseq, deterministic=deterministic, xf=cond_emb, emb=time_emb,
+                xf_valid_mask=cond_mask,
             )
             return tokens[:, :n_latent]
 
         xseq = jnp.concatenate([sample, time_emb, cond_emb], axis=1)
         xseq = self.query_pos(xseq)
-        tokens = self.encoder(xseq, deterministic=deterministic)
+        key_valid = None
+        if cond_mask is not None:
+            latents = jnp.ones((B, n_latent), bool)
+            key_valid = jnp.concatenate([latents, ones1, cond_mask], axis=1)
+        tokens = self.encoder(xseq, deterministic=deterministic,
+                              key_valid_mask=key_valid)
         return tokens[:, :n_latent]

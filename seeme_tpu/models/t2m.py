@@ -159,6 +159,7 @@ class T2MSystem:
             params["denoiser"], noisy, t, text_emb,
             lengths if self.diffusion_only else None,
             deterministic=False, rngs={"dropout": d_rng},
+            cond_mask=batch.get("text_mask"),
         )
         if self.diffusion_only:
             # padded frames are zeroed by the denoiser; mask the target too
@@ -171,6 +172,7 @@ class T2MSystem:
         self, params: Dict, text_emb: jnp.ndarray, rng: jax.Array,
         lengths: Optional[jnp.ndarray] = None,
         nframes: Optional[int] = None,
+        cond_mask: Optional[jnp.ndarray] = None,  # (B, n_cond) True = valid
     ) -> jnp.ndarray:
         """text embedding (B, 1, 768) -> motion features (B, T, nfeats)."""
         cfg = self.cfg
@@ -179,6 +181,8 @@ class T2MSystem:
         B = text_emb.shape[0]
         if cfg.guidance_scale > 1.0:
             cond = jnp.concatenate([jnp.zeros_like(text_emb), text_emb], axis=0)
+            if cond_mask is not None:
+                cond_mask = jnp.concatenate([cond_mask, cond_mask], axis=0)
         else:
             cond = text_emb
 
@@ -189,7 +193,8 @@ class T2MSystem:
 
             def denoiser_fn(x, t, step_rng):
                 L = jnp.concatenate([lengths] * 2) if cfg.guidance_scale > 1.0 else lengths
-                return self.denoiser.apply(params["denoiser"], x, t, cond, L)
+                return self.denoiser.apply(params["denoiser"], x, t, cond, L,
+                                           cond_mask=cond_mask)
 
             return ddim_sample(
                 denoiser_fn, self.schedule, rng, (B, T, cfg.nfeats),
@@ -201,7 +206,8 @@ class T2MSystem:
         # n_cond <= 8: the fused kernel keeps per-layer cond projections
         # VMEM-resident — fine for the pooled CLIP token, ruinous for the
         # 77-token clip_hidden/bert sequences (the scan path serves those)
-        if cfg.use_fused and jax.default_backend() != "cpu" and cond.shape[1] <= 8:
+        if (cfg.use_fused and jax.default_backend() != "cpu"
+                and cond.shape[1] <= 8 and cond_mask is None):
             # whole (CFG) reverse process in one VMEM-resident Pallas kernel
             from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
 
@@ -220,7 +226,8 @@ class T2MSystem:
         else:
 
             def denoiser_fn(x, t, step_rng):
-                return self.denoiser.apply(params["denoiser"], x, t, cond)
+                return self.denoiser.apply(params["denoiser"], x, t, cond,
+                                           cond_mask=cond_mask)
 
             z = ddim_sample(
                 denoiser_fn, self.schedule, rng,

@@ -46,14 +46,18 @@ class ClipTextEncoder:
         self.is_fallback = True
         self._model = None
         self._tokenizer = None
-        # mode resolution mirrors `mld_clip.py:38-48`
+        # mode resolution mirrors `mld_clip.py:38-48`: 'clip' checked first,
+        # then 'bert', anything else rejected (a typo'd path must not fall
+        # through to the hash fallback in silently-assumed clip mode)
         base = os.path.basename(modelpath or "").lower()
-        if "bert" in base:
+        if not base or "clip" in base:
+            self.name = "clip_hidden" if last_hidden_state else "clip"
+        elif "bert" in base:
             self.name = "bert"
-        elif last_hidden_state:
-            self.name = "clip_hidden"
         else:
-            self.name = "clip"
+            raise ValueError(
+                f"text encoder model {modelpath!r} not supported "
+                "(expected a clip or bert asset, `mld_clip.py:38-48`)")
         if modelpath and os.path.isdir(modelpath):
             try:
                 from transformers import AutoTokenizer
@@ -93,6 +97,24 @@ class ClipTextEncoder:
                 return np.asarray(out.last_hidden_state, np.float32)
             return np.asarray(out.text_embeds)[:, None, :]
         return self._fallback(texts)
+
+    def token_mask(self, texts: List[str]) -> Optional[np.ndarray]:
+        """(B, max_length) bool validity mask for the hidden-state modes —
+        downstream attention excludes fixed-length padding instead of merely
+        receiving zeroed tokens (the reference pads only to the longest
+        caption in the batch). None for the pooled 'clip' mode."""
+        if self.name == "clip":
+            return None
+        if self._tokenizer is not None:
+            tokens = self._tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            return tokens["attention_mask"].astype(bool)
+        mask = np.zeros((len(texts), self.max_length), bool)
+        for i, t in enumerate(texts):
+            mask[i, : max(min(len(t.split()), self.max_length), 1)] = True
+        return mask
 
     def _fallback(self, texts: List[str]) -> np.ndarray:
         """Deterministic hashed-word embeddings: same caption -> same output,

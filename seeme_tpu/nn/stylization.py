@@ -65,6 +65,7 @@ class LinearTemporalCrossAttention(nn.Module):
         xf: jnp.ndarray,  # (B, N, L)
         emb: jnp.ndarray,  # (B, time_embed_dim)
         deterministic: bool = True,
+        xf_valid_mask: Optional[jnp.ndarray] = None,  # (B, N) True = attend
     ):
         B, T, D = x.shape
         N = xf.shape[1]
@@ -72,10 +73,16 @@ class LinearTemporalCrossAttention(nn.Module):
         xn = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         xfn = nn.LayerNorm(epsilon=1e-5, name="text_norm")(xf)
         query = nn.Dense(D, kernel_init=xavier, name="query")(xn).reshape(B, T, H, -1)
-        key = nn.Dense(D, kernel_init=xavier, name="key")(xfn).reshape(B, N, H, -1)
+        key_logits = nn.Dense(D, kernel_init=xavier, name="key")(xfn).reshape(B, N, H, -1)
+        if xf_valid_mask is not None:
+            # padded condition tokens drop out of the token-axis softmax
+            # (the reference pads only to the longest caption in the batch;
+            # fixed-length padding here must stay inert — ADVICE r2)
+            key_logits = jnp.where(
+                xf_valid_mask[:, :, None, None], key_logits, -1e9)
         value = nn.Dense(D, kernel_init=xavier, name="value")(xfn).reshape(B, N, H, -1)
         query = nn.softmax(query, axis=-1)   # over head-dim features
-        key = nn.softmax(key, axis=1)        # over condition tokens
+        key = nn.softmax(key_logits, axis=1)  # over condition tokens
         attention = jnp.einsum("bnhd,bnhl->bhdl", key, value)
         y = jnp.einsum("bnhd,bhdl->bnhl", query, attention).reshape(B, T, D)
         y = x + StylizationBlock(D, self.time_embed_dim, self.dropout, name="proj_out")(
@@ -126,12 +133,18 @@ class MdTransformerLayer(nn.Module):
         xf: jnp.ndarray,           # (B, N, D) condition tokens
         emb: jnp.ndarray,          # (B, 1, D) time embedding token
         deterministic: bool = True,
+        xf_valid_mask: Optional[jnp.ndarray] = None,  # (B, N) True = attend
     ):
-        T = x.shape[1]
+        B, T = x.shape[:2]
         seq = jnp.concatenate([x, xf, emb], axis=1)
+        key_valid = None
+        if xf_valid_mask is not None:
+            ones = jnp.ones((B, T), bool)
+            key_valid = jnp.concatenate(
+                [ones, xf_valid_mask, jnp.ones((B, 1), bool)], axis=1)
         seq = TransformerEncoderLayer(
             self.d_model, self.num_heads, 1024, self.dropout, "relu", False, name="sa_block"
-        )(seq, deterministic=deterministic)
+        )(seq, key_valid_mask=key_valid, deterministic=deterministic)
         x = seq[:, :T]
         emb_vec = emb[:, 0]  # (B, D)
         x = LinearTemporalCrossAttention(
@@ -141,7 +154,7 @@ class MdTransformerLayer(nn.Module):
             self.dropout,
             time_embed_dim=self.d_model,
             name="ca_block",
-        )(x, xf, emb_vec, deterministic)
+        )(x, xf, emb_vec, deterministic, xf_valid_mask=xf_valid_mask)
         x = StylizedFFN(
             self.d_model, self.ffn_dim, self.dropout, time_embed_dim=self.d_model, name="ffn"
         )(x, emb_vec, deterministic)

@@ -125,8 +125,10 @@ def render_mesh(
     res: str = "high",
     title: str = "",
 ) -> str:
-    """Render a vertex sequence; Blender when `bpy` imports, matplotlib
-    otherwise. Returns the written path (video file or frames folder)."""
+    """Render a vertex sequence with the best available backend: Blender
+    when `bpy` imports, the offscreen pyrender tier when `pyrender` imports
+    (the reference's `mld/render/renderer.py` role), matplotlib otherwise.
+    Returns the written path (video file or frames folder)."""
     from .joints import blender_available
 
     frames = prepare_mesh_frames(vertices, always_on_floor=always_on_floor)
@@ -138,6 +140,17 @@ def render_mesh(
             exact_frame=exact_frame, num=num, res=res,
         )
     if mode == "video":
+        from .pyrender_backend import pyrender_available
+
+        if pyrender_available():
+            from .pyrender_backend import render_mesh_video_pyrender
+
+            # pyrender takes the RAW (y-up) vertices: the backend applies
+            # the reference's own Rx(180°) + first-frame centering
+            return render_mesh_video_pyrender(
+                vertices, faces, out_path, fps=fps, gt=gt,
+                resolution=(480, 480) if res == "high" else (224, 224),
+            )
         return render_mesh_video_matplotlib(
             frames, faces, out_path, fps=fps, gt=gt, title=title
         )

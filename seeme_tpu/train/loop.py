@@ -32,10 +32,17 @@ def make_train_step(
     stage: str,
     optimizer: optax.GradientTransformation,
     mesh=None,
+    trainable_keys=None,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
-    """Build the jitted (state, batch) -> (state, metrics) step for a stage."""
+    """Build the jitted (state, batch) -> (state, metrics) step for a stage.
+
+    `trainable_keys` must match the set given to `make_optimizer` (both
+    default to STAGE_TRAINABLE[stage]) — the stop_gradient freeze here and
+    the optimizer's multi_transform mask are the same mechanism expressed
+    twice and silently diverging would zero grads the optimizer thinks it
+    trains."""
     loss_fn: LossFn = system.vae_loss if stage == "vae" else system.diffusion_loss
-    trainable = set(STAGE_TRAINABLE.get(stage, ()))
+    trainable = set(trainable_keys or STAGE_TRAINABLE.get(stage, ()))
 
     def step(state: TrainState, batch: Dict):
         rng, step_rng = jax.random.split(state.rng)

@@ -161,8 +161,12 @@ def main():
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter()
             # batches iterate shuffle=False, so batch_idx identifies the same
-            # batch in every replication (cond cache key)
-            out = eval_step(params, batch, step_rng, _key=batch_idx)
+            # batch in every replication (cond cache key). With COUNT_TIME the
+            # cache is bypassed so every timed window includes condition
+            # encoding — the reference protocol times the full sampling path
+            # each replication (`modeltype/base.py:44-53`)
+            out = eval_step(params, batch, step_rng,
+                            _key=None if count_time else batch_idx)
             out["feats_rst"].block_until_ready()
             if count_time:
                 times.append(time.perf_counter() - t0)
@@ -226,6 +230,11 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
     sample_fn = jax.jit(
         lambda p, t, r: system.sample(p, t, r)
     )
+    # hidden-state text modes carry a token-validity mask so fixed-length
+    # padding is excluded from attention (ADVICE r2)
+    sample_fn_masked = jax.jit(
+        lambda p, t, m, r: system.sample(p, t, r, cond_mask=m)
+    )
     recon_fn = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
 
     # TM2T evaluator embeddings (`t2m_eval`, `mld.py:1955-1995`); pretrained
@@ -250,10 +259,16 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
             texts = batch_np.pop("text", None)
             if "text_emb" not in batch_np and texts is not None:
                 batch_np["text_emb"] = system.text_encoder(texts)
+                tm = system.text_encoder.token_mask(texts)
+                if tm is not None:
+                    batch_np["text_mask"] = tm
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             rng, step_rng = jax.random.split(rng)
             if stage == "vae":
                 feats_rst = recon_fn(params, batch, step_rng)
+            elif "text_mask" in batch:
+                feats_rst = sample_fn_masked(
+                    params, batch["text_emb"], batch["text_mask"], step_rng)
             else:
                 feats_rst = sample_fn(params, batch["text_emb"], step_rng)
             joints_rst = np.asarray(datamodule.feats2joints(feats_rst))

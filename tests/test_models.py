@@ -181,3 +181,47 @@ def test_predict_transl_false_renormalizes_translations():
     np.testing.assert_allclose(
         np.asarray(joints[0, 0, 0] - rest[0, 0, 0]), [5.0, 5.0, 5.0], atol=1e-4
     )
+
+
+@pytest.mark.parametrize("md_trans", [True, False])
+def test_denoiser_cond_mask_equals_truncation(md_trans):
+    """Masked-out padded condition tokens must be exactly equivalent to the
+    tokens not existing (the fixed-length clip_hidden/bert padding contract,
+    ADVICE r2): masked 5-token cond == truncated 3-token cond."""
+    den = Denoiser(latent_dim=(2, 32), ff_size=48, num_layers=3, num_heads=2,
+                   text_encoded_dim=16, md_trans=md_trans, dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    B, n_valid, n_pad = 3, 3, 2
+    sample = jax.random.normal(rng, (B, 2, 32))
+    t = jnp.full((B,), 411, jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, n_valid + n_pad, 16))
+    params = den.init(jax.random.PRNGKey(2), sample, t, cond)
+
+    mask = jnp.arange(n_valid + n_pad)[None, :] < n_valid
+    mask = jnp.broadcast_to(mask, (B, n_valid + n_pad))
+    out_masked = den.apply(params, sample, t, cond, cond_mask=mask)
+    out_trunc = den.apply(params, sample, t, cond[:, :n_valid])
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc),
+                               atol=1e-5)
+    # and the junk in the padded tokens must not leak at all
+    cond2 = cond.at[:, n_valid:].set(99.0)
+    out_masked2 = den.apply(params, sample, t, cond2, cond_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_masked2),
+                               np.asarray(out_masked), atol=1e-5)
+
+
+def test_denoiser_trans_dec_cond_mask_equals_truncation():
+    """Same contract on the trans_dec (novae) memory path."""
+    den = Denoiser(latent_dim=(2, 32), ff_size=48, num_layers=2, num_heads=2,
+                   text_encoded_dim=16, md_trans=False, arch="trans_dec",
+                   dropout=0.0)
+    B = 2
+    sample = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 32))
+    t = jnp.full((B,), 10, jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 16))
+    params = den.init(jax.random.PRNGKey(2), sample, t, cond)
+    mask = jnp.broadcast_to(jnp.arange(4)[None] < 2, (B, 4))
+    out_masked = den.apply(params, sample, t, cond, cond_mask=mask)
+    out_trunc = den.apply(params, sample, t, cond[:, :2])
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc),
+                               atol=1e-5)

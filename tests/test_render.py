@@ -58,3 +58,54 @@ def test_render_mesh_fallback_writes_file(tmp_path, mode, suffix):
     assert out.endswith(suffix)
     import os
     assert os.path.getsize(out) > 0
+
+
+class TestPyrenderBackend:
+    """Mid-tier offscreen renderer (`mld/render/renderer.py` port). The GL
+    path needs pyrender installed; the math is tested unconditionally."""
+
+    def test_weak_perspective_matrix(self):
+        from seeme_tpu.render.pyrender_backend import weak_perspective_matrix
+
+        P = weak_perspective_matrix((0.75, 0.5), (0.2, 0.1))
+        # `renderer.py:40-48`: diag scales, translation premultiplied by
+        # scale with y negated, z flipped
+        assert P[0, 0] == 0.75 and P[1, 1] == 0.5
+        np.testing.assert_allclose(P[0, 3], 0.2 * 0.75)
+        np.testing.assert_allclose(P[1, 3], -0.1 * 0.5)
+        assert P[2, 2] == -1 and P[3, 3] == 1
+
+    def test_rotation_x_flip(self):
+        from seeme_tpu.render.pyrender_backend import rotation_x
+
+        R = rotation_x(180.0)
+        v = np.array([0.1, 0.2, 0.3, 1.0])
+        out = R @ v
+        np.testing.assert_allclose(out[:3], [0.1, -0.2, -0.3], atol=1e-12)
+
+    def test_video_render_when_available(self, tmp_path):
+        pytest.importorskip("pyrender")
+        from seeme_tpu.render.pyrender_backend import (
+            render_mesh_video_pyrender,
+        )
+
+        rng = np.random.RandomState(0)
+        verts = rng.randn(3, 32, 3) * 0.1
+        faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+        out = render_mesh_video_pyrender(
+            verts, faces, str(tmp_path / "m.gif"), resolution=(64, 64))
+        assert out.endswith(".gif") and (tmp_path / "m.gif").exists()
+
+    def test_render_mesh_backend_selection(self, tmp_path, monkeypatch):
+        """Without bpy/pyrender, render_mesh falls through to matplotlib."""
+        from seeme_tpu.render import mesh as mesh_mod
+
+        monkeypatch.setattr(
+            "seeme_tpu.render.joints.blender_available", lambda: False)
+        rng = np.random.RandomState(0)
+        verts = rng.randn(2, 1500, 3) * 0.1 + np.array([0, 1, 0])
+        faces = np.stack([np.arange(0, 30), np.arange(1, 31),
+                          np.arange(2, 32)], axis=1)
+        out = mesh_mod.render_mesh(
+            verts, faces, str(tmp_path / "v.gif"), mode="video", fps=4)
+        assert (tmp_path / "v.gif").exists() or out.endswith(".gif")

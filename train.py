@@ -148,6 +148,9 @@ def main():
                 # host-side caption embedding (frozen CLIP / fallback)
                 if "text_emb" not in b and texts is not None:
                     b["text_emb"] = system.text_encoder(texts)
+                    tm = system.text_encoder.token_mask(texts)
+                    if tm is not None:
+                        b["text_mask"] = tm
             yield b
 
     # validation: loss on the EVAL split every VAL_EVERY_STEPS epochs
@@ -164,6 +167,9 @@ def main():
                 texts = b.pop("text", None)
                 if "text_emb" not in b and texts is not None:
                     b["text_emb"] = system.text_encoder(texts)
+                    tm = system.text_encoder.token_mask(texts)
+                    if tm is not None:
+                        b["text_mask"] = tm
             batch = {k: jax.numpy.asarray(v) for k, v in b.items()}
             rng, r = jax.random.split(rng)
             terms = val_step(state.params, batch, r)
