@@ -181,3 +181,36 @@ def test_demo_reconstruction_and_action_modes(tmp_path):
     a0 = np.load(out2 / "action_0.npy")
     assert a0.ndim == 3 and a0.shape[1:] == (24, 3)
     assert (out2 / "action_3.npy").exists()
+
+
+def test_export_fbx_fallback_paths(tmp_path):
+    """export_fbx.py (`scripts/fbx_output.py` role): without bpy it writes
+    the documented OBJ-sequence / glb fallbacks; the bpy builders are
+    exercised where Blender's Python runs this repo."""
+    np.save(tmp_path / "mesh.npy", np.random.RandomState(0)
+            .randn(3, 40, 3).astype(np.float32))
+    np.save(tmp_path / "faces.npy", np.array([[0, 1, 2], [3, 4, 5]]))
+    np.save(tmp_path / "joints.npy", np.random.RandomState(1)
+            .randn(4, 24, 3).astype(np.float32))
+
+    r = subprocess.run(
+        [sys.executable, "scripts/export_fbx.py", "--mesh",
+         str(tmp_path / "mesh.npy"), "--faces", str(tmp_path / "faces.npy"),
+         "--out", str(tmp_path / "a.fbx")],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    try:
+        import bpy  # noqa: F401
+
+        assert (tmp_path / "a.fbx").exists()
+    except ImportError:
+        assert (tmp_path / "a_obj" / "frame_0000.obj").exists()
+
+    r = subprocess.run(
+        [sys.executable, "scripts/export_fbx.py", "--joints",
+         str(tmp_path / "joints.npy"), "--out", str(tmp_path / "b.fbx")],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "b.fbx").exists() or (tmp_path / "b.glb").exists()
