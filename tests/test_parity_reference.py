@@ -745,3 +745,61 @@ def test_reference_spaced_ddim_chain_golden(ref_diffusion):
         x = sched.ddim_step(pred, jnp.int32(i), x,
                             num_inference_steps=n_steps)
     np.testing.assert_allclose(np.asarray(x), out_t.numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Whole-evaluator conversion flow: genuine torch encoders at real sizes ->
+# convert_checkpoint CLI (--kind t2m_*) -> saved checkpoints -> T2MEvaluator
+# restore -> embeddings match torch end-to-end (VERDICT r2 item #8)
+# --------------------------------------------------------------------------
+
+def test_reference_t2m_evaluator_checkpoint_flow(ref, tmp_path):
+    import subprocess
+
+    torch.manual_seed(53)
+    nfeats = 263
+    tten = ref.t2m_textenc.TextEncoderBiGRUCo(300, 15, 512, 512).eval()
+    tmov = ref.t2m_motionenc.MovementConvEncoder(nfeats - 4, 512, 512).eval()
+    tmot = ref.t2m_motionenc.MotionEncoderBiGRUCo(512, 1024, 512).eval()
+
+    # raw state-dict .tar checkpoints, the format the converter CLI loads
+    for mod, name in ((tten, "text.tar"), (tmov, "move.tar"),
+                      (tmot, "motion.tar")):
+        torch.save(mod.state_dict(), tmp_path / name)
+    ckpt_dir = tmp_path / "converted"
+    for kind, src, sub in (("t2m_text", "text.tar", "text"),
+                           ("t2m_move", "move.tar", "move"),
+                           ("t2m_motion", "motion.tar", "motion")):
+        r = subprocess.run(
+            [sys.executable, "tools/convert_checkpoint.py", "--kind", kind,
+             "--src", str(tmp_path / src), "--dst", str(ckpt_dir / sub)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+
+    from seeme_tpu.eval.t2m_evaluator import T2MEvaluator
+
+    ev = T2MEvaluator(nfeats=nfeats, ckpt_dir=str(ckpt_dir))
+    assert ev.is_pretrained
+
+    # motions: T divisible by unit_len, descending lengths for torch pack
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((3, 16, nfeats)).astype(np.float32)
+    lengths = np.array([16, 12, 8])
+    emb_j = ev.embed_motion(feats, lengths)
+    with torch.no_grad():
+        mov_t = tmov(torch.from_numpy(feats[..., :-4]))
+        emb_t = tmot(mov_t, torch.from_numpy(lengths // ev.unit_len))
+    np.testing.assert_allclose(emb_j, emb_t.numpy(), atol=2e-4)
+
+    # texts through the SAME vectorizer arrays on both sides (captions
+    # sorted by token count — torch pack_padded needs descending lengths)
+    texts = ["a person walks forward quickly", "a person jumps"]
+    emb_j = ev.embed_text(texts)
+    words, pos, lens = zip(*(ev.vectorizer.tokens_to_arrays(
+        t.split(), ev.max_text_len) for t in texts))
+    with torch.no_grad():
+        emb_t = tten(torch.from_numpy(np.stack(words)),
+                     torch.from_numpy(np.stack(pos)),
+                     torch.from_numpy(np.asarray(lens)))
+    np.testing.assert_allclose(emb_j, emb_t.numpy(), atol=2e-4)

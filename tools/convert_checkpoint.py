@@ -23,9 +23,15 @@ library (the parity tests build torch modules and compare outputs).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 from typing import Dict
 
 import numpy as np
+
+# running as `python tools/convert_checkpoint.py` puts tools/ (not the repo
+# root) on sys.path; the save step imports seeme_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _t(x) -> np.ndarray:
