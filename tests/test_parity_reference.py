@@ -803,3 +803,35 @@ def test_reference_t2m_evaluator_checkpoint_flow(ref, tmp_path):
                      torch.from_numpy(np.stack(pos)),
                      torch.from_numpy(np.asarray(lens)))
     np.testing.assert_allclose(emb_j, emb_t.numpy(), atol=2e-4)
+
+
+def test_reference_mld_vae_all_encoder_parity(ref):
+    """The ctor-default 'all_encoder' arch (`mld_vae.py:88-92, 205-220`):
+    decode concatenates [z; zero queries] through a second U-skip encoder."""
+    torch.manual_seed(61)
+    nfeats, latent_size, d = 7, 2, 32
+    ablation = SimpleNamespace(MLP_DIST=False, PE_TYPE="mld")
+    tvae = ref.mld_vae.MldVae(
+        ablation, nfeats=nfeats, latent_dim=[latent_size, d],
+        arch="all_encoder", position_embedding="learned").eval()
+
+    B, T = 3, 6
+    feats = torch.randn(B, T, nfeats)
+    lengths = [6, 4, 3]
+    with torch.no_grad():
+        _, dist = tvae.encode(feats, lengths=lengths)
+        mu_t = dist.loc
+        rst_t = tvae.decode(mu_t, lengths)
+
+    sd = {f"vae.{k}": v for k, v in tvae.state_dict().items()}
+    params = convert_mld_checkpoint(sd, num_layers=5,
+                                    vae_arch="all_encoder")["vae"]
+    m = MotionVae(nfeats=nfeats, latent_dim=(latent_size, d), ff_size=128,
+                  num_layers=5, num_heads=1, arch="all_encoder")
+    len_j = jnp.asarray(np.array(lengths))
+    mu_j, _ = m.apply(params, jnp.asarray(feats.numpy()), len_j,
+                      method="encode")
+    np.testing.assert_allclose(
+        np.asarray(mu_j), mu_t.permute(1, 0, 2).numpy(), atol=1e-4)
+    rst_j = m.apply(params, mu_j, T, len_j, method="decode")
+    np.testing.assert_allclose(np.asarray(rst_j), rst_t.numpy(), atol=1e-4)

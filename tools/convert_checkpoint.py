@@ -106,8 +106,11 @@ def convert_learned_pe(sd: Dict, prefix: str) -> Dict:
     return {"pe": _t(sd[f"{prefix}.pe"])[:, 0, :]}
 
 
-def convert_motion_vae(sd: Dict, num_layers: int = 5) -> Dict:
-    """MldVae state dict (keys already stripped of any `vae.` prefix)."""
+def convert_motion_vae(sd: Dict, num_layers: int = 5,
+                       arch: str = "encoder_decoder") -> Dict:
+    """MldVae state dict (keys already stripped of any `vae.` prefix).
+    arch='all_encoder' decoders are SkipTransformerEncoder stacks
+    (`mld_vae.py:88-92`) — plain encoder-layer key layout."""
     return {
         "params": {
             "global_motion_token": _t(sd["global_motion_token"]),
@@ -116,7 +119,9 @@ def convert_motion_vae(sd: Dict, num_layers: int = 5) -> Dict:
             "query_pos_encoder": convert_learned_pe(sd, "query_pos_encoder"),
             "query_pos_decoder": convert_learned_pe(sd, "query_pos_decoder"),
             "encoder": convert_skip_transformer(sd, "encoder", num_layers),
-            "decoder": convert_skip_transformer(sd, "decoder", num_layers, decoder=True),
+            "decoder": convert_skip_transformer(
+                sd, "decoder", num_layers,
+                decoder=(arch == "encoder_decoder")),
         }
     }
 
@@ -193,7 +198,8 @@ def convert_denoiser(sd: Dict, num_layers: int = 5, md_trans: bool = True) -> Di
 
 
 def convert_mld_checkpoint(state_dict: Dict, num_layers: int = 5,
-                           md_trans: bool = True) -> Dict:
+                           md_trans: bool = True,
+                           vae_arch: str = "encoder_decoder") -> Dict:
     """Full MLD Lightning checkpoint -> {vae, denoiser, output_scene...}.
     Applies the reference's key filters: text_encoder absent, `smpl.*` /
     `proscene.smpl.*` dropped."""
@@ -202,7 +208,7 @@ def convert_mld_checkpoint(state_dict: Dict, num_layers: int = 5,
     den_sd = {k[len("denoiser."):]: v for k, v in sd.items() if k.startswith("denoiser.")}
     out = {}
     if vae_sd:  # stage-1 checkpoints are VAE-only
-        out["vae"] = convert_motion_vae(vae_sd, num_layers)
+        out["vae"] = convert_motion_vae(vae_sd, num_layers, arch=vae_arch)
     if den_sd:
         out["denoiser"] = convert_denoiser(den_sd, num_layers, md_trans)
     if "output_scene.1.weight" in sd:
