@@ -47,6 +47,7 @@ def seeme_config_from_yaml(cfg: Config) -> SeeMeConfig:
         guidance_uncondp=float(model.get("guidance_uncondp", 0.1)),
         predict_epsilon=bool(abl.get("PREDICT_EPSILON", True)),
         md_trans=bool(abl.get("MD_TRANS", False)),
+        mlp_dist=bool(abl.get("MLP_DIST", False)),
         num_inference_timesteps=int(sched.get("num_inference_timesteps", 50)),
         eta=float(sched.get("eta", 0.0)),
         scene_points=int(model.get("scene_points", 20000)),

@@ -60,6 +60,16 @@ class EgoBodyDataModule:
             self._splits[split] = data
         return self._splits[split]
 
+    def split_array(self, split: str, key: str) -> np.ndarray:
+        return self._load(split)[key]
+
+    def attach_split_features(self, split: str, key: str, values: np.ndarray):
+        """Attach a per-sample feature array (row i <-> sample i); batches
+        slice every key of the split dict, so it rides along automatically."""
+        data = self._load(split)
+        assert len(values) == data["feats"].shape[0]
+        data[key] = np.asarray(values)
+
     def batches(
         self, split: str, batch_size: int, shuffle=None, seed: int = 0,
         drop_last: bool = True,

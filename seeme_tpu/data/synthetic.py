@@ -60,6 +60,9 @@ class SyntheticEgoDataset:
         if with_image:
             self.image = rng.rand(num_samples, image_size, image_size, 3).astype(np.float32)
         self.length = np.full((num_samples,), T, np.int32)
+        # precomputed per-sample features (e.g. frozen scene embeddings)
+        # attached by the train loop; sliced into every batch
+        self.extras: Dict[str, np.ndarray] = {}
 
         # normalization stats over the (pose + transl) feature vector,
         # same contract as mean.npy/std.npy (`mld/data/EgoBody.py:124-131`)
@@ -106,4 +109,6 @@ class SyntheticEgoDataset:
                 batch["scene"] = self.scene[sel]
             if self.with_image:
                 batch["image"] = self.image[sel]
+            for k, v in self.extras.items():
+                batch[k] = v[sel]
             yield batch

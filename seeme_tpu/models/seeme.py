@@ -63,6 +63,7 @@ class SeeMeConfig:
     guidance_uncondp: float = 0.1
     predict_epsilon: bool = True
     md_trans: bool = True
+    mlp_dist: bool = False                 # ABLATION.MLP_DIST
     num_inference_timesteps: int = 50
     eta: float = 0.0
     scene_points: int = 20000
@@ -130,6 +131,7 @@ class SeeMeSystem:
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,
             dropout=cfg.dropout,
+            mlp_dist=cfg.mlp_dist,
         )
         self.denoiser = Denoiser(
             nfeats=cfg.nfeats,
@@ -294,16 +296,24 @@ class SeeMeSystem:
         )
         return out["vertices"].reshape(B, T, -1, 3)
 
+    def scene_features(self, params: Dict, scene: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, 3) point cloud -> (B, 512) frozen-PointNet features — the
+        deterministic, parameter-frozen stage of `encode_scene`. The stage-2
+        train loop precomputes these once per sample (`train.py`): the
+        PointNet is ~90% of the train step (scripts/TRAIN_PROFILE.json), and
+        its weights never update after ProHMR pretraining
+        (`mld.py:185-208`)."""
+        if jax.default_backend() != "cpu":
+            from ..ops.pointnet_pallas import pointnet_forward_pallas
+
+            return pointnet_forward_pallas(params["scene_encoder"], scene)
+        return self.scene_encoder.apply(params["scene_encoder"], scene)
+
     def encode_scene(self, params: Dict, scene: jnp.ndarray) -> jnp.ndarray:
         """(B, N, 3) point cloud -> (B, 1, d) condition token
         (`mld.py:911-922`: frozen PointNet then trainable projection).
         Routes through the fused Pallas kernels on TPU (`ops/pointnet_pallas`)."""
-        if jax.default_backend() != "cpu":
-            from ..ops.pointnet_pallas import pointnet_forward_pallas
-
-            feats = pointnet_forward_pallas(params["scene_encoder"], scene)
-        else:
-            feats = self.scene_encoder.apply(params["scene_encoder"], scene)
+        feats = self.scene_features(params, scene)
         return self.output_scene.apply(params["output_scene"], feats)[:, None, :]
 
     def encode_motion_latent(
@@ -364,12 +374,20 @@ class SeeMeSystem:
             z_cond, _ = self.encode_motion_latent(params["vae"], f_int)
             tokens.append(z_cond)
         if self.use_scene:
-            scene = batch["scene"]
-            if do_cfg_train:
-                rng, mask_rng = jax.random.split(rng)
-                mask = jax.random.uniform(mask_rng, scene.shape) < cfg.guidance_uncondp
-                scene = jnp.where(mask, 0.0, scene)
-            tokens.append(self.encode_scene(params, scene))
+            if "scene_feats" in batch and not do_cfg_train:
+                # precomputed frozen-PointNet features (train.py's stage-2
+                # cache); only the trainable projection runs per step. The
+                # CFG-training path masks the RAW point cloud, so it cannot
+                # consume cached features.
+                tokens.append(self.output_scene.apply(
+                    params["output_scene"], batch["scene_feats"])[:, None, :])
+            else:
+                scene = batch["scene"]
+                if do_cfg_train:
+                    rng, mask_rng = jax.random.split(rng)
+                    mask = jax.random.uniform(mask_rng, scene.shape) < cfg.guidance_uncondp
+                    scene = jnp.where(mask, 0.0, scene)
+                tokens.append(self.encode_scene(params, scene))
         if not tokens and not self.use_image:
             # unconditional config: a single zero token (cond_emb=None in the
             # reference degenerates to no conditioning, `mld.py:1012-1013`)

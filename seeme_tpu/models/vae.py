@@ -41,6 +41,10 @@ class MotionVae(nn.Module):
     normalize_before: bool = False
     activation: str = "gelu"
     position_embedding: str = "learned"
+    # ABLATION.MLP_DIST (`mld_vae.py:59, 107-110, 183-187`): latent_size
+    # dist tokens projected to (mu, logvar) by a 2d-wide linear, instead of
+    # 2*latent_size tokens split in half. Off in every shipped config.
+    mlp_dist: bool = False
 
     @property
     def latent_size(self) -> int:
@@ -75,13 +79,18 @@ class MotionVae(nn.Module):
         else:
             raise ValueError(f"unsupported arch {self.arch}")
 
-        # MLP_DIST=False path: latent_size mu-tokens + latent_size logvar-tokens
-        # (`mld_vae.py:111-113`), N(0,1) init like torch.randn.
+        # MLP_DIST=False: latent_size mu-tokens + latent_size logvar-tokens
+        # (`mld_vae.py:111-113`); MLP_DIST=True: latent_size tokens + a
+        # dist_layer projection to 2d (`mld_vae.py:107-110`). N(0,1) init
+        # like torch.randn.
+        n_tok = self.latent_size if self.mlp_dist else self.latent_size * 2
         self.global_motion_token = self.param(
             "global_motion_token",
             nn.initializers.normal(stddev=1.0),
-            (self.latent_size * 2, d),
+            (n_tok, d),
         )
+        if self.mlp_dist:
+            self.dist_layer = nn.Dense(2 * d, name="dist_layer")
         self.skel_embedding = nn.Dense(d, name="skel_embedding")
         self.final_layer = nn.Dense(self.nfeats, name="final_layer")
 
@@ -114,8 +123,13 @@ class MotionVae(nn.Module):
         xseq = self.query_pos_encoder(xseq)
         out = self.encoder(xseq, key_valid_mask=aug_mask, deterministic=deterministic)
         dist = out[:, : dist_tokens.shape[1]]
-        mu = dist[:, : self.latent_size]
-        logvar = dist[:, self.latent_size :]
+        if self.mlp_dist:
+            tokens_dist = self.dist_layer(dist)
+            mu = tokens_dist[..., : self.d_model]
+            logvar = tokens_dist[..., self.d_model :]
+        else:
+            mu = dist[:, : self.latent_size]
+            logvar = dist[:, self.latent_size :]
         return mu, logvar
 
     def decode(

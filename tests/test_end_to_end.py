@@ -179,3 +179,23 @@ def test_tensor_parallel_shardings():
     loss_tp, _ = jax.jit(system.diffusion_loss)(sharded, batch, jax.random.PRNGKey(1))
     loss_rep, _ = jax.jit(system.diffusion_loss)(params, {k: jnp.asarray(v) for k, v in next(data.batches(8)).items()}, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=1e-4)
+
+
+def test_scene_feature_cache_matches_raw_encoding(setup):
+    """The stage-2 frozen-scene cache (train.py precompute ->
+    batch['scene_feats']) must be numerically identical to encoding the raw
+    point cloud in the loss — same function, same frozen params."""
+    import jax
+    import jax.numpy as jnp
+
+    _, system, data, params = setup
+    batch_np = next(data.batches(4, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rng = jax.random.PRNGKey(3)
+    loss_raw, _ = system.diffusion_loss(params, batch, rng)
+
+    feats = system.scene_features(params, batch["scene"])
+    batch_cached = dict(batch)
+    batch_cached["scene_feats"] = feats
+    loss_cached, _ = system.diffusion_loss(params, batch_cached, rng)
+    np.testing.assert_allclose(float(loss_raw), float(loss_cached), rtol=1e-6)

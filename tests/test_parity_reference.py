@@ -835,3 +835,34 @@ def test_reference_mld_vae_all_encoder_parity(ref):
         np.asarray(mu_j), mu_t.permute(1, 0, 2).numpy(), atol=1e-4)
     rst_j = m.apply(params, mu_j, T, len_j, method="decode")
     np.testing.assert_allclose(np.asarray(rst_j), rst_t.numpy(), atol=1e-4)
+
+
+def test_reference_mld_vae_mlp_dist_parity(ref):
+    """ABLATION.MLP_DIST=True (`mld_vae.py:59, 107-110, 183-187`): dist
+    tokens -> dist_layer -> (mu, logvar) split along features."""
+    torch.manual_seed(67)
+    nfeats, latent_size, d = 7, 2, 32
+    ablation = SimpleNamespace(MLP_DIST=True, PE_TYPE="mld")
+    tvae = ref.mld_vae.MldVae(
+        ablation, nfeats=nfeats, latent_dim=[latent_size, d],
+        arch="encoder_decoder", position_embedding="learned").eval()
+
+    B, T = 3, 6
+    feats = torch.randn(B, T, nfeats)
+    lengths = [6, 4, 3]
+    with torch.no_grad():
+        _, dist = tvae.encode(feats, lengths=lengths)
+        mu_t = dist.loc
+        logvar_t = 2.0 * dist.scale.log()
+
+    sd = {f"vae.{k}": v for k, v in tvae.state_dict().items()}
+    params = convert_mld_checkpoint(sd, num_layers=5)["vae"]
+    m = MotionVae(nfeats=nfeats, latent_dim=(latent_size, d), ff_size=128,
+                  num_layers=5, num_heads=1, mlp_dist=True)
+    len_j = jnp.asarray(np.array(lengths))
+    mu_j, logvar_j = m.apply(params, jnp.asarray(feats.numpy()), len_j,
+                             method="encode")
+    np.testing.assert_allclose(
+        np.asarray(mu_j), mu_t.permute(1, 0, 2).numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(logvar_j), logvar_t.permute(1, 0, 2).numpy(), atol=1e-4)

@@ -111,19 +111,20 @@ def convert_motion_vae(sd: Dict, num_layers: int = 5,
     """MldVae state dict (keys already stripped of any `vae.` prefix).
     arch='all_encoder' decoders are SkipTransformerEncoder stacks
     (`mld_vae.py:88-92`) — plain encoder-layer key layout."""
-    return {
-        "params": {
-            "global_motion_token": _t(sd["global_motion_token"]),
-            "skel_embedding": convert_linear(sd, "skel_embedding"),
-            "final_layer": convert_linear(sd, "final_layer"),
-            "query_pos_encoder": convert_learned_pe(sd, "query_pos_encoder"),
-            "query_pos_decoder": convert_learned_pe(sd, "query_pos_decoder"),
-            "encoder": convert_skip_transformer(sd, "encoder", num_layers),
-            "decoder": convert_skip_transformer(
-                sd, "decoder", num_layers,
-                decoder=(arch == "encoder_decoder")),
-        }
+    params = {
+        "global_motion_token": _t(sd["global_motion_token"]),
+        "skel_embedding": convert_linear(sd, "skel_embedding"),
+        "final_layer": convert_linear(sd, "final_layer"),
+        "query_pos_encoder": convert_learned_pe(sd, "query_pos_encoder"),
+        "query_pos_decoder": convert_learned_pe(sd, "query_pos_decoder"),
+        "encoder": convert_skip_transformer(sd, "encoder", num_layers),
+        "decoder": convert_skip_transformer(
+            sd, "decoder", num_layers,
+            decoder=(arch == "encoder_decoder")),
     }
+    if "dist_layer.weight" in sd:  # MLP_DIST=True (`mld_vae.py:107-110`)
+        params["dist_layer"] = convert_linear(sd, "dist_layer")
+    return {"params": params}
 
 
 def convert_stylization_block(sd: Dict, prefix: str) -> Dict:
