@@ -211,12 +211,20 @@ def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.n
     rot_mats: (B, 24, 3, 3) local joint rotations; joints: (B, 24, 3) rest
     positions. Returns (posed_joints (B,24,3), rel_transforms (B,24,4,4)).
 
-    The chain walk is a lax.scan over the 24 joints in topological order
-    (parents[k] < k holds for SMPL), carrying the stacked world transforms.
-    24 sequential 4x4 composes per batch — negligible vs the LBS matmul, and
-    scan keeps the compiled program small.
+    The chain walk unrolls over the 24 joints in topological order
+    (parents[k] < k holds for SMPL) with STATIC parent indices: the SMPL
+    kinematic tree is a fixed constant (PARENTS), identical for every body
+    model, so each step is a plain (B,4,4) matmul against an already-built
+    parent transform. A lax.scan formulation with a (24, B, 4, 4) carry and
+    dynamic indexing forced the scan transpose to checkpoint the WHOLE carry
+    per step — O(J^2 B) residual traffic that made the FK backward ~30x its
+    forward on TPU (scripts/TRAIN_PROFILE.json round 3); the unrolled chain
+    saves one (B,4,4) per joint instead.
+
+    `parents` (the model's own table) is accepted for interface parity but
+    the walk uses the canonical PARENTS constant — real SMPL pkls carry the
+    same table (kintree_table IS the standard tree).
     """
-    B = rot_mats.shape[0]
     rel_pos = joints - jnp.where(
         (parents >= 0)[None, :, None], joints[:, jnp.clip(parents, 0), :], 0.0
     )
@@ -228,21 +236,10 @@ def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.n
 
     local_tf = make_tf(rot_mats, rel_pos)  # (B, 24, 4, 4)
 
-    def step(carry, k):
-        # carry: (24, B, 4, 4) world transforms filled so far
-        parent = parents[k]
-        parent_tf = jnp.where(parent >= 0, 1.0, 0.0)  # selector scalar
-        pw = carry[jnp.clip(parent, 0)]  # (B,4,4)
-        eye = jnp.broadcast_to(jnp.eye(4), pw.shape)
-        base = jnp.where(parent >= 0, pw, eye)
-        world = base @ local_tf[:, k]
-        carry = carry.at[k].set(world)
-        del parent_tf
-        return carry, None
-
-    init = jnp.zeros((NUM_JOINTS, B, 4, 4), local_tf.dtype)
-    world_tf, _ = jax.lax.scan(step, init, jnp.arange(NUM_JOINTS))
-    world_tf = jnp.moveaxis(world_tf, 0, 1)  # (B, 24, 4, 4)
+    world = [local_tf[:, 0]]
+    for k in range(1, NUM_JOINTS):
+        world.append(world[int(PARENTS[k])] @ local_tf[:, k])
+    world_tf = jnp.stack(world, axis=1)  # (B, 24, 4, 4)
 
     posed_joints = world_tf[..., :3, 3]
     # Relative-to-rest transforms for skinning: A_k = G_k - pack(G_k @ [j_k, 0])
