@@ -75,6 +75,21 @@ def ref():
         umnn.NeuralIntegral = object
         umnn.ParallelNeuralIntegral = object
         sys.modules["UMNN"] = umnn
+    if "smplx" not in sys.modules:
+        # mld.transforms pulls smplx at import time (`transforms/smpl.py:
+        # 128-129`); stub the package + the touched submodules — nothing is
+        # instantiated in these tests
+        smplx = types.ModuleType("smplx")
+        smplx.__path__ = []
+        smplx.SMPLLayer = object
+        lbs = types.ModuleType("smplx.lbs")
+        lbs.vertices2joints = lambda *a, **k: None
+        body_models = types.ModuleType("smplx.body_models")
+        body_models.SMPLHLayer = object
+        smplx.lbs, smplx.body_models = lbs, body_models
+        sys.modules["smplx"] = smplx
+        sys.modules["smplx.lbs"] = lbs
+        sys.modules["smplx.body_models"] = body_models
     if "yacs" not in sys.modules:
         yacs = types.ModuleType("yacs")
         yacs_config = types.ModuleType("yacs.config")
@@ -866,3 +881,103 @@ def test_reference_mld_vae_mlp_dist_parity(ref):
         np.asarray(mu_j), mu_t.permute(1, 0, 2).numpy(), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(logvar_j), logvar_t.permute(1, 0, 2).numpy(), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Geometry / PA-alignment / Rifke utility goldens against the genuine
+# reference utilities (`EgoHMR/utils/geometry.py`, `pose_utils.py`,
+# `mld/utils/geometry2.py`, `mld/transforms/joints2jfeats/rifke.py`)
+# --------------------------------------------------------------------------
+
+def test_reference_geometry_golden(ref, ref_egohmr):
+    import importlib
+
+    from seeme_tpu.core import rotations as R
+
+    geo = ref_egohmr.geometry
+    geo2 = importlib.import_module("mld.utils.geometry2")
+    torch.manual_seed(71)
+    aa = torch.randn(8, 3) * 1.5
+
+    np.testing.assert_allclose(
+        np.asarray(R.aa_to_rotmat(jnp.asarray(aa.numpy()))),
+        geo.aa_to_rotmat(aa).numpy(), atol=1e-5)
+    # wxyz quats, both directions
+    q_t = geo2.aa_to_quat(aa)
+    np.testing.assert_allclose(
+        np.asarray(R.aa_to_quat(jnp.asarray(aa.numpy()))),
+        q_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(R.quat_to_rotmat(jnp.asarray(q_t.numpy()))),
+        geo.quat_to_rotmat(q_t).numpy(), atol=1e-5)
+
+    # both rot6d layouts ('prohmr' row-pairs vs 'diffusion' column-pairs,
+    # the convention trap at SURVEY hard-parts ranking)
+    x6 = torch.randn(8, 6)
+    for mode in ("prohmr", "diffusion"):
+        np.testing.assert_allclose(
+            np.asarray(R.rot6d_to_rotmat(jnp.asarray(x6.numpy()), mode=mode)),
+            geo.rot6d_to_rotmat(x6, rot6d_mode=mode).numpy(), atol=1e-5)
+    rots = geo.rot6d_to_rotmat(x6, rot6d_mode="diffusion")
+    np.testing.assert_allclose(
+        np.asarray(R.rotmat_to_rot6d(jnp.asarray(rots.numpy()),
+                                     mode="diffusion")),
+        geo.rotmat_to_rot6d(rots, rot6d_mode="diffusion").numpy(), atol=1e-6)
+
+    # perspective projection with rotation + principal point
+    pts = torch.randn(4, 10, 3) + torch.tensor([0.0, 0.0, 3.0])
+    transl = torch.randn(4, 3) * 0.1
+    focal = torch.full((4, 2), 500.0)
+    center = torch.full((4, 2), 112.0)
+    rot = geo.aa_to_rotmat(torch.randn(4, 3) * 0.2)
+    np.testing.assert_allclose(
+        np.asarray(R.perspective_projection(
+            jnp.asarray(pts.numpy()), jnp.asarray(transl.numpy()),
+            jnp.asarray(focal.numpy()), jnp.asarray(center.numpy()),
+            jnp.asarray(rot.numpy()))),
+        geo.perspective_projection(pts, transl, focal, center, rot).numpy(),
+        rtol=1e-4, atol=1e-3)
+
+
+def test_reference_pa_alignment_golden(ref):
+    import importlib
+
+    pose_utils = importlib.import_module("EgoHMR.utils.pose_utils")
+    from seeme_tpu.eval.t2m_metrics import procrustes_align
+
+    rng = np.random.default_rng(5)
+    S2 = rng.standard_normal((24, 3))
+    # S1: rotated+scaled+translated+noised version of S2
+    theta = 0.7
+    Rz = np.array([[np.cos(theta), -np.sin(theta), 0],
+                   [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
+    S1 = 1.3 * S2 @ Rz.T + np.array([0.2, -0.1, 0.05])
+    S1 += 0.01 * rng.standard_normal(S1.shape)
+
+    aligned_ref = pose_utils.compute_similarity_transform(S1.copy(), S2.copy())
+    aligned_ours = procrustes_align(S1, S2)
+    np.testing.assert_allclose(aligned_ours, aligned_ref, atol=1e-8)
+
+    err_ref = pose_utils.reconstruction_error(S1[None], S2[None])
+    err_ours = float(np.linalg.norm(aligned_ours - S2, axis=-1).mean())
+    np.testing.assert_allclose(err_ours, err_ref, atol=1e-8)
+
+
+def test_reference_rifke_golden(ref):
+    import importlib
+
+    rifke_mod = importlib.import_module("mld.transforms.joints2jfeats.rifke")
+    from seeme_tpu.core.rifke import joints_to_rifke, rifke_to_joints
+
+    joints = _synthetic_t2m_joints(ref, T=16, seed=9).astype(np.float32)
+    tr = rifke_mod.Rifke(jointstype="humanml3d", normalization=False)
+    with torch.no_grad():
+        feats_t = tr(torch.from_numpy(joints[None]))
+        back_t = tr.inverse(feats_t)
+
+    feats_j = joints_to_rifke(jnp.asarray(joints[None]))
+    np.testing.assert_allclose(np.asarray(feats_j), feats_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    back_j = rifke_to_joints(jnp.asarray(np.asarray(feats_j)))
+    np.testing.assert_allclose(np.asarray(back_j), back_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
