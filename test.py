@@ -250,6 +250,8 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                     "(set TEST.T2M_EVALUATOR_DIR for comparable TM2T numbers)")
     renorm4t2m = getattr(datamodule, "renorm4t2m", None)
 
+    count_time = bool(cfg.select("TEST.COUNT_TIME", False))
+    times = []
     all_metrics = []
     for rep in range(reps):
         mr = MRMetrics()
@@ -264,6 +266,7 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                     batch_np["text_mask"] = tm
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             rng, step_rng = jax.random.split(rng)
+            t0 = time.time()
             if stage == "vae":
                 feats_rst = recon_fn(params, batch, step_rng)
             elif "text_mask" in batch:
@@ -271,6 +274,9 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                     params, batch["text_emb"], batch["text_mask"], step_rng)
             else:
                 feats_rst = sample_fn(params, batch["text_emb"], step_rng)
+            if count_time:
+                feats_rst.block_until_ready()
+                times.append(time.time() - t0)
             joints_rst = np.asarray(datamodule.feats2joints(feats_rst))
             joints_ref = np.asarray(datamodule.feats2joints(batch["motion"]))
             lengths = np.asarray(batch["length"])
@@ -314,6 +320,16 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         mm_val = mm.compute()
         all_metrics = [dict(m, **mm_val) for m in all_metrics]
         logger.info("MultiModality: %.4f", mm_val["MultiModality"])
+
+    if count_time and times:
+        # the reference timing contract (`modeltype/base.py:44-53`,
+        # `mld.py:389-406`): per-batch sampling wall clock to times.txt
+        with open(f"{exp_dir}/times.txt", "w") as f:
+            f.writelines(f"{t}\n" for t in times)
+        per_sample = (float(np.mean(times[1:]) / batch_size)
+                      if len(times) > 1 else float(times[0]) / batch_size)
+        logger.info("mean time per sample (batch %d): %.6fs (%.1f samples/s)",
+                    batch_size, per_sample, 1.0 / per_sample)
 
     stats = get_metric_statistics(all_metrics)
     for k, s in sorted(stats.items()):

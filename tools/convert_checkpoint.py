@@ -549,6 +549,8 @@ def main():
     ap.add_argument("--dst", required=True)
     ap.add_argument("--num_layers", type=int, default=5)
     ap.add_argument("--md_trans", action="store_true", default=True)
+    ap.add_argument("--vae_arch", default="encoder_decoder",
+                    choices=["encoder_decoder", "all_encoder"])
     args = ap.parse_args()
 
     import torch
@@ -557,7 +559,8 @@ def main():
     sd = ckpt.get("state_dict", ckpt)
 
     if args.kind == "mld":
-        params = convert_mld_checkpoint(sd, args.num_layers, args.md_trans)
+        params = convert_mld_checkpoint(sd, args.num_layers, args.md_trans,
+                                        vae_arch=args.vae_arch)
     elif args.kind == "prohmr":
         sd = {k: v for k, v in sd.items() if not k.startswith("smpl")}
         params = {
