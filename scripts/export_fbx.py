@@ -196,9 +196,27 @@ def _gltf_fallback(args) -> str:
         return out_dir
     from export_gltf import build_glb
 
-    joints = np.load(args.joints)
-    if joints.ndim == 2:
-        joints = joints.reshape(len(joints), -1, 3)
+    if args.poses:
+        # FK the axis-angle poses to joints, export the animated-joint glb
+        import jax.numpy as jnp
+
+        from seeme_tpu.core import load_smpl, synthetic_smpl
+        from seeme_tpu.core.smpl import smpl_joints24
+
+        smpl = (load_smpl(args.smpl)
+                if args.smpl and os.path.exists(args.smpl)
+                else synthetic_smpl(n_verts=689))
+        poses = np.load(args.poses).reshape(-1, 72)
+        T = len(poses)
+        aa = jnp.asarray(poses, jnp.float32)
+        joints = np.asarray(smpl_joints24(
+            smpl, jnp.zeros((T, 10)), aa[:, 3:], aa[:, :3]))
+        if args.transl:
+            joints = joints + np.load(args.transl)[:, None, :]
+    else:
+        joints = np.load(args.joints)
+        if joints.ndim == 2:
+            joints = joints.reshape(len(joints), -1, 3)
     with open(out, "wb") as f:
         f.write(build_glb(joints, args.fps))
     print(f"bpy unavailable: wrote {out} "

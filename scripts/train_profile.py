@@ -117,7 +117,7 @@ def profile_stage(stage: str):
     # ---- optimizer alone (precomputed grads, update+apply amortized)
     opt = make_optimizer(stage, params)
     opt_state = opt.init(params)
-    _, grads0 = jax.value_and_grad(frozen_compute)(params, batch, rng)
+    _, grads0 = jax.jit(jax.value_and_grad(frozen_compute))(params, batch, rng)
 
     def opt_step(acc, grads, opt_state, p):
         g = jax.tree.map(lambda x: x + acc * 1e-12, grads)

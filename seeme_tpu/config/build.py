@@ -94,6 +94,7 @@ def build_t2m_system(cfg: Config, datamodule, use_fused: Optional[bool] = None):
         lambda_rec=float(loss.get("LAMBDA_REC", 1.0)),
         lambda_joint=float(loss.get("LAMBDA_JOINT", 1.0)),
         vae_type=str(model.get("vae_type", "mld")),
+        mlp_dist=bool(abl.get("MLP_DIST", False)),
         arch=str(cfg.select("model.denoiser.params.arch", "trans_enc")
                  or "trans_enc"),
     )

@@ -83,9 +83,14 @@ class EgoBodyDataModule:
             np.random.RandomState(seed).shuffle(idx)
         stop = (n // batch_size) * batch_size if drop_last else n
         rng = np.random.RandomState(seed + 1)
+        has_cached_scene = "scene_feats" in data
         for i in range(0, stop, batch_size):
             sel = idx[i : i + batch_size]
-            batch = {k: v[sel] for k, v in data.items() if k != "image_crops"}
+            # cached frozen scene features supersede the raw 20k-pt cloud —
+            # don't ship ~15 MB/step of unused points to the device
+            batch = {k: v[sel] for k, v in data.items()
+                     if k != "image_crops"
+                     and not (k == "scene" and has_cached_scene)}
             if "image_crops" in data:
                 crops = data["image_crops"][sel]  # (B, K, 224, 224, 3) uint8
                 pick = rng.randint(0, crops.shape[1], size=len(sel))

@@ -66,14 +66,19 @@ class SyntheticDataModule:
             shuffle = split == "train"
         return ds.batches(batch_size, shuffle=shuffle, seed=seed)
 
+    def _split(self, split: str):
+        if split == "val" and self.name == "gimo":
+            split = "test"  # same alias as batches()
+        return getattr(self, f"{split}_set")
+
     def split_array(self, split: str, key: str) -> np.ndarray:
-        return getattr(getattr(self, f"{split}_set"), key)
+        return getattr(self._split(split), key)
 
     def attach_split_features(self, split: str, key: str, values: np.ndarray):
         """Attach a per-sample feature array (row i <-> sample i) so every
         batch carries `key` sliced alongside the raw fields — the frozen
         scene-embedding cache the stage-2 train loop precomputes."""
-        ds = getattr(self, f"{split}_set")
+        ds = self._split(split)
         assert len(values) == len(ds), (len(values), len(ds))
         ds.extras[key] = np.asarray(values)
 

@@ -105,7 +105,8 @@ class SyntheticEgoDataset:
                 "cam": self.cam[sel],
                 "length": self.length[sel],
             }
-            if self.with_scene:
+            if self.with_scene and "scene_feats" not in self.extras:
+                # cached frozen scene features supersede the raw cloud
                 batch["scene"] = self.scene[sel]
             if self.with_image:
                 batch["image"] = self.image[sel]

@@ -47,6 +47,7 @@ class T2MConfig:
     vae_type: str = "mld"
     # denoiser arch: 'trans_enc' (U-skip) or 'trans_dec' (the novae config)
     arch: str = "trans_enc"
+    mlp_dist: bool = False  # ABLATION.MLP_DIST (`mld_vae.py:107-110`)
 
 
 class T2MSystem:
@@ -60,6 +61,7 @@ class T2MSystem:
                 nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
                 ff_size=cfg.ff_size, num_layers=cfg.num_layers,
                 num_heads=cfg.num_heads, dropout=cfg.dropout,
+                mlp_dist=cfg.mlp_dist,
             )
         self.denoiser = Denoiser(
             nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),

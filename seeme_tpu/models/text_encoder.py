@@ -48,11 +48,14 @@ class ClipTextEncoder:
         self._tokenizer = None
         # mode resolution mirrors `mld_clip.py:38-48`: 'clip' checked first,
         # then 'bert', anything else rejected (a typo'd path must not fall
-        # through to the hash fallback in silently-assumed clip mode)
-        base = os.path.basename(modelpath or "").lower()
-        if not base or "clip" in base:
+        # through to the hash fallback in silently-assumed clip mode). The
+        # substring test runs on the FULL path like the reference — real
+        # asset layouts are e.g. deps/clip/ViT-L-14, whose basename alone
+        # contains neither token.
+        path = (modelpath or "").lower()
+        if not path or "clip" in path:
             self.name = "clip_hidden" if last_hidden_state else "clip"
-        elif "bert" in base:
+        elif "bert" in path:
             self.name = "bert"
         else:
             raise ValueError(
@@ -77,7 +80,11 @@ class ClipTextEncoder:
                     )
                 self.is_fallback = False
             except Exception:
+                # drop BOTH halves: a live tokenizer with a dead model would
+                # produce token_mask positions misaligned with the hashed
+                # fallback embeddings
                 self._model = None
+                self._tokenizer = None
 
     def __call__(self, texts: List[str]) -> np.ndarray:
         """texts -> (B, 1, D) pooled ("clip") or (B, max_length, D) token

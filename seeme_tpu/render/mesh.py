@@ -131,8 +131,8 @@ def render_mesh(
     Returns the written path (video file or frames folder)."""
     from .joints import blender_available
 
-    frames = prepare_mesh_frames(vertices, always_on_floor=always_on_floor)
     if blender_available():
+        frames = prepare_mesh_frames(vertices, always_on_floor=always_on_floor)
         from .blender_backend import render_blender
 
         return render_blender(
@@ -145,15 +145,23 @@ def render_mesh(
         if pyrender_available():
             from .pyrender_backend import render_mesh_video_pyrender
 
-            # pyrender takes the RAW (y-up) vertices: the backend applies
-            # the reference's own Rx(180°) + first-frame centering
+            # pyrender takes RAW (y-up) vertices: the backend applies the
+            # reference's own Rx(180°) + first-frame centering. Apply the
+            # always_on_floor per-frame contact in y-up space first. (No
+            # title overlay in this tier — the reference renderer has none.)
+            verts = np.asarray(vertices, np.float64)
+            if always_on_floor:
+                verts = verts.copy()
+                verts[..., 1] -= verts[..., 1].min(axis=1, keepdims=True)
             return render_mesh_video_pyrender(
-                vertices, faces, out_path, fps=fps, gt=gt,
+                verts, faces, out_path, fps=fps, gt=gt,
                 resolution=(480, 480) if res == "high" else (224, 224),
             )
+        frames = prepare_mesh_frames(vertices, always_on_floor=always_on_floor)
         return render_mesh_video_matplotlib(
             frames, faces, out_path, fps=fps, gt=gt, title=title
         )
+    frames = prepare_mesh_frames(vertices, always_on_floor=always_on_floor)
     # sequence/frame fall back to a single representative still
     import matplotlib
 

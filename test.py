@@ -310,11 +310,20 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         texts = batch_np.pop("text", None)
         if "text_emb" not in batch_np and texts is not None:
             batch_np["text_emb"] = system.text_encoder(texts)
+            tm = system.text_encoder.token_mask(texts)
+            if tm is not None:
+                batch_np["text_mask"] = tm
         text_emb = jax.numpy.asarray(batch_np["text_emb"])
+        text_mask = (jax.numpy.asarray(batch_np["text_mask"])
+                     if "text_mask" in batch_np else None)
         reps = []
         for r in range(mm_repeats):
             rng, sr = jax.random.split(rng)
-            feats = sample_fn(params, text_emb, sr)
+            # same masked conditioning as the main metrics loop
+            if text_mask is not None:
+                feats = sample_fn_masked(params, text_emb, text_mask, sr)
+            else:
+                feats = sample_fn(params, text_emb, sr)
             reps.append(np.asarray(feats).reshape(len(text_emb), -1))
         mm.update(np.stack(reps, axis=1))
         mm_val = mm.compute()

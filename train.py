@@ -106,42 +106,6 @@ def main():
     batch_size = int(cfg.TRAIN.BATCH_SIZE)
     end_epoch = int(cfg.TRAIN.END_EPOCH)
 
-    # Stage-2 scene cache: the frozen PointNet is ~90% of the train step
-    # (scripts/TRAIN_PROFILE.json: 57 of 64 ms at batch 64) and its output is
-    # deterministic per sample, so precompute the (N, 512) features once and
-    # slice them into every batch. The CFG-training path masks raw points, so
-    # the cache only applies at guidance_scale <= 1 (the shipped ego config).
-    # Default on-TPU only: the one-core CPU host takes minutes to push the
-    # full dataset through the PointNet up front, which would stall smoke
-    # runs (override with TRAIN.SCENE_CACHE=true/false).
-    cache_scene = cfg.select("TRAIN.SCENE_CACHE", None)
-    if cache_scene is None:
-        cache_scene = jax.default_backend() != "cpu"
-    if (cache_scene and stage != "vae" and getattr(system, "use_scene", False)
-            and float(getattr(sys_cfg, "guidance_scale", 1.0)) <= 1.0
-            and hasattr(datamodule, "attach_split_features")):
-        import numpy as np
-
-        feats_fn = jax.jit(lambda p, s: system.scene_features(p, s))
-        for split in ("train", "val"):
-            try:
-                scene = datamodule.split_array(split, "scene")
-            except (AttributeError, KeyError, FileNotFoundError):
-                continue
-            chunks = []
-            cs = max(batch_size, 8)
-            for i in range(0, len(scene), cs):
-                chunk = scene[i:i + cs]
-                pad = cs - len(chunk)
-                if pad:  # fixed-shape jit: pad the tail chunk
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], pad, axis=0)])
-                out = np.asarray(feats_fn(params, jax.numpy.asarray(chunk)))
-                chunks.append(out[: cs - pad] if pad else out)
-            datamodule.attach_split_features(
-                split, "scene_feats", np.concatenate(chunks))
-            logger.info("precomputed frozen scene features for %s "
-                        "(%d samples)", split, len(scene))
     n_train = getattr(datamodule, "num_train", None) or (
         len(datamodule.train_set) if hasattr(datamodule, "train_set") else batch_size
     )
@@ -166,6 +130,46 @@ def main():
             state, step = restore_state(make_manager(resume), state)
             start_epoch = step // steps_per_epoch
             logger.info("resumed from %s @ step %d (epoch %d)", resume, step, start_epoch)
+
+    # Stage-2 scene cache: the frozen PointNet is ~90% of the train step
+    # (scripts/TRAIN_PROFILE.json: 57 of 64 ms at batch 64) and its output is
+    # deterministic per sample, so precompute the (N, 512) features once and
+    # slice them into every batch (the datamodule then omits the raw 20k-pt
+    # cloud from training batches — ~15 MB/step of dead host->device
+    # transfer otherwise). Runs AFTER the resume restore so the features
+    # come from the same scene_encoder weights the run trains with. The
+    # CFG-training path masks raw points, so the cache only applies at
+    # guidance_scale <= 1 (the shipped ego config). Default on-TPU only:
+    # the one-core CPU host takes minutes to fill it (override with
+    # TRAIN.SCENE_CACHE=true/false).
+    cache_scene = cfg.select("TRAIN.SCENE_CACHE", None)
+    if cache_scene is None:
+        cache_scene = jax.default_backend() != "cpu"
+    if (cache_scene and stage != "vae" and getattr(system, "use_scene", False)
+            and float(getattr(sys_cfg, "guidance_scale", 1.0)) <= 1.0
+            and hasattr(datamodule, "attach_split_features")):
+        import numpy as np
+
+        feats_fn = jax.jit(lambda p, s: system.scene_features(p, s))
+        for split in ("train", "val"):
+            try:
+                scene = datamodule.split_array(split, "scene")
+            except (AttributeError, KeyError, FileNotFoundError):
+                continue
+            chunks = []
+            cs = max(batch_size, 8)
+            for i in range(0, len(scene), cs):
+                chunk = scene[i:i + cs]
+                pad = cs - len(chunk)
+                if pad:  # fixed-shape jit: pad the tail chunk
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                out = np.asarray(feats_fn(state.params, jax.numpy.asarray(chunk)))
+                chunks.append(out[: cs - pad] if pad else out)
+            datamodule.attach_split_features(
+                split, "scene_feats", np.concatenate(chunks))
+            logger.info("precomputed frozen scene features for %s "
+                        "(%d samples)", split, len(scene))
 
     mesh = make_mesh(model_axis=int(cfg.select("MESH.MODEL_AXIS", 1)))
     logger.info(
