@@ -981,3 +981,79 @@ def test_reference_rifke_golden(ref):
     back_j = rifke_to_joints(jnp.asarray(np.asarray(feats_j)))
     np.testing.assert_allclose(np.asarray(back_j), back_t.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_reference_ddpm_posterior_golden(ref_diffusion):
+    """The DDPM ancestral path (`gaussian_diffusion.py:209-231` posterior +
+    `p_sample`'s mean + sqrt(var)*noise update with x0 prediction) against
+    our `ddpm_step` (prediction_type='sample', fixed_small variance)."""
+    from seeme_tpu.diffusion.schedulers import DiffusionSchedule
+
+    T, B, D = 100, 3, 8
+    betas = ref_diffusion.gd.get_named_beta_schedule("cosine", T, 1.0)
+    diff = ref_diffusion.gd.GaussianDiffusion(betas=betas)
+    sched = DiffusionSchedule(num_train_timesteps=T,
+                              beta_schedule="squaredcos_cap_v2",
+                              set_alpha_to_one=True, steps_offset=0,
+                              prediction_type="sample", clip_sample=False)
+
+    torch.manual_seed(73)
+    x0 = torch.randn(B, D)
+    xt = torch.randn(B, D)
+    noise = torch.randn(B, D)
+    for ti in (1, 17, 63, 99):
+        t = torch.full((B,), ti, dtype=torch.long)
+        mean_t, var_t, _ = diff.q_posterior_mean_variance(x0, xt, t)
+        ref_sample = mean_t + var_t.sqrt() * noise  # t > 0 branch of p_sample
+        ours = sched.ddpm_step(
+            jnp.asarray(x0.numpy()), jnp.int32(ti), jnp.asarray(xt.numpy()),
+            jnp.asarray(noise.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref_sample.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+    # t == 0: no noise, pure posterior mean
+    t0 = torch.zeros(B, dtype=torch.long)
+    mean_t, _, _ = diff.q_posterior_mean_variance(x0, xt, t0)
+    ours0 = sched.ddpm_step(jnp.asarray(x0.numpy()), jnp.int32(0),
+                            jnp.asarray(xt.numpy()), jnp.asarray(noise.numpy()))
+    np.testing.assert_allclose(np.asarray(ours0), mean_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_reference_egohmr_x_start_chain_golden(ref, ref_egohmr, ref_diffusion):
+    """The training x_start construction (`gaussian_diffusion.py:731-742`):
+    aa -> rotmat -> diffusion-layout rot6d -> body_rep normalization ->
+    q_sample, against the exact chain train_egohmr.py::add_body_rep +
+    DiffusionSchedule.add_noise apply."""
+    from seeme_tpu.core.rotations import aa_to_rotmat, rotmat_to_rot6d
+    from seeme_tpu.diffusion.schedulers import DiffusionSchedule
+
+    torch.manual_seed(79)
+    B, T = 3, 100
+    glob = torch.randn(B, 3) * 0.5
+    body = torch.randn(B, 69) * 0.3
+    mean = torch.randn(144) * 0.05
+    std = torch.rand(144) * 0.5 + 0.75
+
+    full_aa = torch.cat([glob, body], dim=1).reshape(B, -1, 3)
+    rotmat = ref_egohmr.geometry.aa_to_rotmat(full_aa.reshape(-1, 3)).view(
+        B, -1, 3, 3)
+    rot6d = ref_egohmr.geometry.rotmat_to_rot6d(
+        rotmat.reshape(-1, 3, 3), rot6d_mode="diffusion").reshape(B, -1)
+    x_start_t = (rot6d - mean) / std
+
+    betas = ref_diffusion.gd.get_named_beta_schedule("cosine", T, 1.0)
+    diff = ref_diffusion.gd.GaussianDiffusion(betas=betas)
+    noise = torch.randn(B, 144)
+    t = torch.tensor([3, 40, 90])
+    xt_ref = diff.q_sample(x_start_t, t, noise=noise)
+
+    aa_j = jnp.asarray(full_aa.numpy())
+    r6_j = rotmat_to_rot6d(aa_to_rotmat(aa_j), mode="diffusion").reshape(B, 144)
+    x_start_j = (r6_j - jnp.asarray(mean.numpy())) / jnp.asarray(std.numpy())
+    np.testing.assert_allclose(np.asarray(x_start_j), x_start_t.numpy(),
+                               atol=1e-5)
+    sched = DiffusionSchedule(num_train_timesteps=T,
+                              beta_schedule="squaredcos_cap_v2")
+    xt_j = sched.add_noise(x_start_j, jnp.asarray(noise.numpy()),
+                           jnp.asarray(t.numpy()))
+    np.testing.assert_allclose(np.asarray(xt_j), xt_ref.numpy(), atol=1e-4)
