@@ -91,11 +91,19 @@ def restore_params(path: str, template: Dict) -> Dict:
 
 
 def load_pretrained_vae(path: str, params: Dict) -> Dict:
-    """Graft the `vae` subtree of a stage-1 params checkpoint into `params`
-    (the PRETRAINED_VAE load, `train.py:155-167`). Restores without a
-    template (the donor checkpoint may hold more subtrees than the target)."""
+    """Graft the `vae` subtree of a stage-1 checkpoint into `params`
+    (the PRETRAINED_VAE load, `train.py:155-167`). Accepts either a
+    params-only `save_params` checkpoint or a training run's
+    `<exp>/checkpoints/<step>` directory (TrainState under `default/`).
+    Restores without a template (the donor may hold more subtrees)."""
     ckptr = ocp.StandardCheckpointer()
-    donor = ckptr.restore(_abs(path))
+    p = _abs(path)
+    if os.path.isdir(os.path.join(p, "default")):
+        donor = ckptr.restore(os.path.join(p, "default"))
+        if isinstance(donor, dict) and "params" in donor:
+            donor = donor["params"]
+    else:
+        donor = ckptr.restore(p)
     if "vae" not in donor:
         raise KeyError(f"checkpoint {path} has no 'vae' subtree: {list(donor)}")
     out = dict(params)

@@ -182,8 +182,20 @@ def main():
     ckpt_every = int(cfg.select("LOGGER.SACE_CHECKPOINT_EPOCH", 200))
     log_every = max(int(cfg.select("LOGGER.LOG_EVERY_STEPS", 1)), 1)
 
+    # keys the stage's loss never reads are dropped before the host->device
+    # transfer: stage-1 doesn't touch the 20k-pt scene cloud (~15 MB/batch at
+    # batch 64) or images, and shipping them anyway costs relay bandwidth and
+    # grows host RSS across long runs
+    drop_keys = set()
+    if stage == "vae":
+        drop_keys = {"scene", "image"}
+    elif not getattr(system, "use_image", False):
+        drop_keys = {"image"}
+
     def data_iter(epoch):
         for b in datamodule.batches("train", batch_size, seed=seed + epoch):
+            for k in drop_keys:
+                b.pop(k, None)
             if is_t2m:
                 texts = b.pop("text", None)
                 # host-side caption embedding (frozen CLIP / fallback)
