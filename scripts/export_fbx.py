@@ -16,6 +16,13 @@ scene from the repo's own data instead, so it needs no licensed template:
     keyframes (`fbx_output.py:111-151` process_pose), LBS weights as vertex
     groups.
 
+The reference's sibling `scripts/fbx_output_smplx.py` (a vendored
+MPG-licensed VIBE tool) is deliberately out of scope: it keyframes a
+*proprietary* `smplx-neutral.fbx` template (`fbx_output_smplx.py:40`) that
+cannot be redistributed, and nothing in either pipeline produces SMPL-X
+poses — the armature path below covers the same export role for the SMPL
+skeletons this framework actually emits.
+
 When ``bpy`` is not importable the exporter falls back to ``.glb``
 (joints/mesh via scripts/export_gltf.py) and says so — glTF is the
 SDK-free interchange format every DCC tool imports; re-run where Blender's

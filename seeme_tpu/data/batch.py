@@ -40,3 +40,19 @@ def host_to_device(batch: Dict) -> Dict:
 def stack_examples(examples) -> Dict:
     keys = examples[0].keys()
     return {k: np.stack([e[k] for e in examples]) for k in keys}
+
+
+def epoch_indices(
+    n: int, batch_size: int, shuffle: bool = True, seed: int = 0,
+    drop_last: bool = True,
+):
+    """The one batch-order generator every loader slices with: yields int
+    index arrays [batch_size] per step. Shared by host-sliced `batches()`
+    and the device-resident gather path (train.py TRAIN.DEVICE_DATA), so the
+    two modes train on bit-identical batch sequences."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    for i in range(0, stop, batch_size):
+        yield idx[i : i + batch_size]

@@ -70,22 +70,32 @@ class EgoBodyDataModule:
         assert len(values) == data["feats"].shape[0]
         data[key] = np.asarray(values)
 
+    def split_arrays(self, split: str) -> Dict[str, np.ndarray]:
+        """All per-sample arrays of a split (row i <-> sample i), for the
+        device-resident gather path."""
+        return self._load(split)
+
+    def batch_indices(
+        self, split: str, batch_size: int, shuffle=None, seed: int = 0,
+        drop_last: bool = True,
+    ):
+        from .batch import epoch_indices
+
+        if shuffle is None:
+            shuffle = split == "train"
+        n = self._load(split)["feats"].shape[0]
+        return epoch_indices(n, batch_size, shuffle=shuffle, seed=seed,
+                             drop_last=drop_last)
+
     def batches(
         self, split: str, batch_size: int, shuffle=None, seed: int = 0,
         drop_last: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         data = self._load(split)
-        n = data["feats"].shape[0]
-        idx = np.arange(n)
-        if shuffle is None:
-            shuffle = split == "train"
-        if shuffle:
-            np.random.RandomState(seed).shuffle(idx)
-        stop = (n // batch_size) * batch_size if drop_last else n
         rng = np.random.RandomState(seed + 1)
         has_cached_scene = "scene_feats" in data
-        for i in range(0, stop, batch_size):
-            sel = idx[i : i + batch_size]
+        for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
+                                      seed=seed, drop_last=drop_last):
             # cached frozen scene features supersede the raw 20k-pt cloud —
             # don't ship ~15 MB/step of unused points to the device
             batch = {k: v[sel] for k, v in data.items()

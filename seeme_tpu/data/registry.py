@@ -71,6 +71,16 @@ class SyntheticDataModule:
             split = "test"  # same alias as batches()
         return getattr(self, f"{split}_set")
 
+    def split_arrays(self, split: str):
+        return self._split(split).split_arrays()
+
+    def batch_indices(self, split: str, batch_size: int, shuffle=None,
+                      seed: int = 0, drop_last: bool = True):
+        if shuffle is None:
+            shuffle = split == "train"
+        return self._split(split).batch_indices(
+            batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
+
     def split_array(self, split: str, key: str) -> np.ndarray:
         return getattr(self._split(split), key)
 

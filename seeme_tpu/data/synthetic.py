@@ -89,15 +89,37 @@ class SyntheticEgoDataset:
             out["image"] = self.image[idx]
         return out
 
+    def split_arrays(self) -> Dict[str, np.ndarray]:
+        """All per-sample arrays (row i <-> sample i), incl. attached extras,
+        for the device-resident gather path."""
+        out = {
+            "feats": self.feats,
+            "transl": self.transl,
+            "betas": self.betas,
+            "cam": self.cam,
+            "length": self.length,
+        }
+        if self.with_scene:
+            out["scene"] = self.scene
+        if self.with_image:
+            out["image"] = self.image
+        out.update(self.extras)
+        return out
+
+    def batch_indices(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0,
+        drop_last: bool = True,
+    ):
+        from .batch import epoch_indices
+
+        return epoch_indices(self.num_samples, batch_size, shuffle=shuffle,
+                             seed=seed, drop_last=drop_last)
+
     def batches(
         self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:
-        idx = np.arange(self.num_samples)
-        if shuffle:
-            np.random.RandomState(seed).shuffle(idx)
-        stop = (self.num_samples // batch_size) * batch_size if drop_last else self.num_samples
-        for i in range(0, stop, batch_size):
-            sel = idx[i : i + batch_size]
+        for sel in self.batch_indices(batch_size, shuffle=shuffle, seed=seed,
+                                      drop_last=drop_last):
             batch = {
                 "feats": self.feats[sel],
                 "transl": self.transl[sel],

@@ -41,6 +41,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for k-step dispatch stacks [k, B, ...]: the scan axis stays
+    whole on every device, the per-step batch axis is data-sharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Params / opt-state / schedule constants: replicated everywhere."""
     return NamedSharding(mesh, P())

@@ -199,3 +199,94 @@ def test_scene_feature_cache_matches_raw_encoding(setup):
     batch_cached["scene_feats"] = feats
     loss_cached, _ = system.diffusion_loss(params, batch_cached, rng)
     np.testing.assert_allclose(float(loss_raw), float(loss_cached), rtol=1e-6)
+
+
+def test_scan_dispatch_matches_single_steps(setup):
+    """k-step scan dispatch (`make_scan_train_step` + run_epoch grouping,
+    incl. the epoch tail that doesn't fill a group) must train on exactly
+    the same batches with the same RNG/optimizer-count threading as k
+    single-step dispatches."""
+    from seeme_tpu.train import make_scan_train_step
+
+    _, system, data, params = setup
+    opt = make_optimizer("diffusion", params, lr=1e-3)
+
+    def batches():
+        # 8 batches with k=3 -> two scanned groups + a 2-batch tail
+        return data.batches(2, seed=11, shuffle=False)
+
+    state_a = create_train_state(params, opt, jax.random.PRNGKey(9))
+    single = make_train_step(system, "diffusion", opt)
+    state_a, means_a = run_epoch(single, state_a, batches())
+
+    state_b = create_train_state(params, opt, jax.random.PRNGKey(9))
+    scan = make_scan_train_step(system, "diffusion", opt)
+    state_b, means_b = run_epoch(
+        single, state_b, batches(), scan_step=scan, steps_per_dispatch=3
+    )
+
+    assert int(state_a.step) == int(state_b.step)
+    for k in means_a:
+        np.testing.assert_allclose(means_a[k], means_b[k], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        state_a.params,
+        state_b.params,
+    )
+
+
+def test_scan_dispatch_8_devices(setup):
+    """The scanned step under the (data, model) mesh: [k, B, ...] stacks
+    sharded on the batch axis, state replicated."""
+    from seeme_tpu.parallel import stacked_batch_sharding
+    from seeme_tpu.train import make_scan_train_step
+
+    _, system, data, params = setup
+    mesh = make_mesh()
+    opt = make_optimizer("diffusion", params)
+    state = create_train_state(params, opt, jax.random.PRNGKey(10))
+    scan = make_scan_train_step(system, "diffusion", opt, mesh=mesh)
+    bs = [next(it) for it in [iter(data.batches(8, shuffle=False))] for _ in range(2)]
+    stacked = {
+        k: jax.device_put(np.stack([b[k] for b in bs]), stacked_batch_sharding(mesh))
+        for k in bs[0]
+    }
+    state, terms = scan(state, stacked)
+    assert int(state.step) == 2
+    assert np.isfinite(float(terms["total"]))
+
+
+def test_device_data_epoch_matches_host_batches(setup):
+    """Device-resident gather dispatch (make_gather_scan_train_step +
+    run_epoch_device, incl. a tail group) must train identically to host-
+    sliced batches through run_epoch — the shared epoch_indices generator
+    guarantees the same batch order, this guarantees the same math."""
+    from seeme_tpu.train import make_gather_scan_train_step, run_epoch_device
+
+    _, system, data, params = setup
+    opt = make_optimizer("diffusion", params, lr=1e-3)
+
+    state_a = create_train_state(params, opt, jax.random.PRNGKey(12))
+    single = make_train_step(system, "diffusion", opt)
+    state_a, means_a = run_epoch(single, state_a, data.batches(2, seed=21))
+
+    state_b = create_train_state(params, opt, jax.random.PRNGKey(12))
+    gather = make_gather_scan_train_step(system, "diffusion", opt)
+    device_data = {k: jnp.asarray(v) for k, v in data.split_arrays().items()}
+    state_b, means_b = run_epoch_device(
+        gather, state_b, device_data,
+        data.batch_indices(2, seed=21), steps_per_dispatch=3,
+    )
+
+    assert int(state_a.step) == int(state_b.step)
+    for k in means_a:
+        np.testing.assert_allclose(means_a[k], means_b[k], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        state_a.params,
+        state_b.params,
+    )

@@ -46,7 +46,13 @@ def main():
     from seeme_tpu.config.build import build_system
     from seeme_tpu.data import get_datamodule
     from seeme_tpu.parallel import make_mesh
-    from seeme_tpu.train import create_train_state, make_optimizer, make_train_step, run_epoch
+    from seeme_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_scan_train_step,
+        make_train_step,
+        run_epoch,
+    )
     from seeme_tpu.train.checkpoint import (
         load_pretrained_vae,
         make_manager,
@@ -179,8 +185,21 @@ def main():
     )
     train_step = make_train_step(system, stage, optimizer, mesh=mesh)
 
-    ckpt_every = int(cfg.select("LOGGER.SACE_CHECKPOINT_EPOCH", 200))
-    log_every = max(int(cfg.select("LOGGER.LOG_EVERY_STEPS", 1)), 1)
+    # k-step dispatch: every jitted call on this box pays a ~32 ms relay
+    # round trip and grows host RSS per dispatch (BASELINE.md "Known
+    # issue"); scanning k steps inside one call amortizes both by k while
+    # training on exactly the same batches (the epoch tail that doesn't
+    # fill a group runs through the single-step path). Defaults to 8 on
+    # TPU, 1 elsewhere (TRAIN.STEPS_PER_DISPATCH overrides).
+    steps_per_dispatch = cfg.select("TRAIN.STEPS_PER_DISPATCH", None)
+    if steps_per_dispatch is None:
+        steps_per_dispatch = 8 if jax.default_backend() != "cpu" else 1
+    steps_per_dispatch = max(int(steps_per_dispatch), 1)
+    scan_step = (
+        make_scan_train_step(system, stage, optimizer, mesh=mesh)
+        if steps_per_dispatch > 1
+        else None
+    )
 
     # keys the stage's loss never reads are dropped before the host->device
     # transfer: stage-1 doesn't touch the 20k-pt scene cloud (~15 MB/batch at
@@ -191,6 +210,57 @@ def main():
         drop_keys = {"scene", "image"}
     elif not getattr(system, "use_image", False):
         drop_keys = {"image"}
+
+    # Device-resident train split: the relay leaks host RSS byte-for-byte on
+    # every h2d transfer and moves ~21 MB/s (scripts/DISPATCH_PROBE.json),
+    # so per-step batch shipping is both the RSS "Known issue" and, with the
+    # scene cache, most of the remaining step wall time. When the split fits
+    # in HBM, upload it once and gather minibatches on-device from k*B int32
+    # indices per dispatch. Identical batch order (data/batch.py::
+    # epoch_indices is shared) and identical step math. Inapplicable to t2m
+    # (host-side caption encoding) and image conditioning (host-side crop
+    # pick + normalize). TRAIN.DEVICE_DATA=true/false overrides.
+    device_data = None
+    use_device_data = cfg.select("TRAIN.DEVICE_DATA", None)
+    if use_device_data is None:
+        use_device_data = jax.default_backend() != "cpu"
+    if (use_device_data and not is_t2m and not getattr(system, "use_image", False)
+            and hasattr(datamodule, "split_arrays")
+            and hasattr(datamodule, "batch_indices")):
+        import numpy as np
+
+        from seeme_tpu.parallel import replicated
+        from seeme_tpu.train import make_gather_scan_train_step, run_epoch_device
+
+        try:
+            arrays = dict(datamodule.split_arrays("train"))
+        except (AttributeError, KeyError, FileNotFoundError):
+            arrays = None
+        if arrays is not None:
+            for k in set(drop_keys) | {"image_crops", "image"}:
+                arrays.pop(k, None)
+            if "scene_feats" in arrays:
+                arrays.pop("scene", None)
+            total_gb = sum(v.nbytes for v in arrays.values()) / 1e9
+            max_gb = float(cfg.select("TRAIN.DEVICE_DATA_MAX_GB", 4.0))
+            if total_gb <= max_gb:
+                rep = replicated(mesh)
+                device_data = {
+                    k: jax.device_put(jax.numpy.asarray(v), rep)
+                    for k, v in arrays.items()
+                }
+                gather_step = make_gather_scan_train_step(
+                    system, stage, optimizer, mesh=mesh)
+                logger.info(
+                    "device-resident train split: %.3f GB in HBM, "
+                    "%d steps/dispatch", total_gb, steps_per_dispatch)
+            else:
+                logger.info(
+                    "device-resident split skipped: %.2f GB > "
+                    "TRAIN.DEVICE_DATA_MAX_GB=%.2f", total_gb, max_gb)
+
+    ckpt_every = int(cfg.select("LOGGER.SACE_CHECKPOINT_EPOCH", 200))
+    log_every = max(int(cfg.select("LOGGER.LOG_EVERY_STEPS", 1)), 1)
 
     def data_iter(epoch):
         for b in datamodule.batches("train", batch_size, seed=seed + epoch):
@@ -233,7 +303,17 @@ def main():
 
     t_start = time.perf_counter()
     for epoch in range(start_epoch, end_epoch):
-        state, means = run_epoch(train_step, state, data_iter(epoch), mesh=mesh)
+        if device_data is not None:
+            state, means = run_epoch_device(
+                gather_step, state, device_data,
+                datamodule.batch_indices("train", batch_size, seed=seed + epoch),
+                steps_per_dispatch=steps_per_dispatch, mesh=mesh,
+            )
+        else:
+            state, means = run_epoch(
+                train_step, state, data_iter(epoch), mesh=mesh,
+                scan_step=scan_step, steps_per_dispatch=steps_per_dispatch,
+            )
         if epoch % log_every == 0:
             from seeme_tpu.utils.profiling import memory_stats
 
