@@ -84,16 +84,22 @@ class HumanAct12DataModule:
         self.mean = np.zeros(150, np.float32)
         self.std = np.ones(150, np.float32)
 
-    def batches(self, split: str, batch_size: int, shuffle=None,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self._data["motion"])
-        idx = np.arange(n)
+    def split_arrays(self, split: str) -> Dict[str, np.ndarray]:
+        return self._data
+
+    def batch_indices(self, split: str, batch_size: int, shuffle=None,
+                      seed: int = 0, drop_last: bool = True):
+        from .batch import epoch_indices
+
         if shuffle is None:
             shuffle = split == "train"
-        if shuffle:
-            np.random.RandomState(seed).shuffle(idx)
-        for i in range(0, (n // batch_size) * batch_size, batch_size):
-            sel = idx[i: i + batch_size]
+        return epoch_indices(len(self._data["motion"]), batch_size,
+                             shuffle=shuffle, seed=seed, drop_last=drop_last)
+
+    def batches(self, split: str, batch_size: int, shuffle=None,
+                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
+                                      seed=seed):
             yield {k: v[sel] for k, v in self._data.items()}
 
 
@@ -257,17 +263,26 @@ class UestcDataModule:
         self.mean = np.zeros(150, np.float32)
         self.std = np.ones(150, np.float32)
 
+    def split_arrays(self, split: str):
+        return self._splits[split]
+
+    def batch_indices(self, split: str, batch_size: int, shuffle=None,
+                      seed: int = 0, drop_last: bool = True):
+        from .batch import epoch_indices
+
+        data = self._splits[split]
+        if data is None:
+            return iter(())
+        if shuffle is None:
+            shuffle = split == "train"
+        return epoch_indices(len(data["motion"]), batch_size,
+                             shuffle=shuffle, seed=seed, drop_last=drop_last)
+
     def batches(self, split: str, batch_size: int, shuffle=None,
                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         data = self._splits[split]
         if data is None:
             return
-        n = len(data["motion"])
-        idx = np.arange(n)
-        if shuffle is None:
-            shuffle = split == "train"
-        if shuffle:
-            np.random.RandomState(seed).shuffle(idx)
-        for i in range(0, (n // batch_size) * batch_size, batch_size):
-            sel = idx[i: i + batch_size]
+        for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
+                                      seed=seed):
             yield {k: v[sel] for k, v in data.items()}

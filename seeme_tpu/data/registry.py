@@ -170,16 +170,22 @@ class SyntheticA2MDataModule:
 
         self._splits = {"train": make(n, 0), "val": make(n // 4, 1), "test": make(n // 4, 2)}
 
-    def batches(self, split, batch_size, shuffle=None, seed=0):
-        data = self._splits[split]
-        n = len(data["motion"])
-        idx = np.arange(n)
+    def split_arrays(self, split):
+        return self._splits[split]
+
+    def batch_indices(self, split, batch_size, shuffle=None, seed=0,
+                      drop_last=True):
+        from .batch import epoch_indices
+
         if shuffle is None:
             shuffle = split == "train"
-        if shuffle:
-            np.random.RandomState(seed).shuffle(idx)
-        for i in range(0, (n // batch_size) * batch_size, batch_size):
-            sel = idx[i : i + batch_size]
+        return epoch_indices(len(self._splits[split]["motion"]), batch_size,
+                             shuffle=shuffle, seed=seed, drop_last=drop_last)
+
+    def batches(self, split, batch_size, shuffle=None, seed=0):
+        data = self._splits[split]
+        for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
+                                      seed=seed):
             yield {k: v[sel] for k, v in data.items()}
 
 

@@ -63,6 +63,19 @@ def latest_checkpoint_step(exp_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def resolve_latest(path: str) -> str:
+    """Resolve a '.../checkpoints/latest' path to the highest numeric step
+    dir (the configs' PRETRAINED_VAE contract; no literal 'latest' entry is
+    ever written on disk). Any other path passes through unchanged."""
+    if os.path.basename(path) != "latest":
+        return path
+    ckpt_dir = os.path.dirname(path)
+    if not os.path.isdir(ckpt_dir):
+        return path
+    steps = [int(d) for d in os.listdir(ckpt_dir) if re.fullmatch(r"\d+", d)]
+    return os.path.join(ckpt_dir, str(max(steps))) if steps else path
+
+
 def save_params(path: str, params: Dict) -> None:
     """Standalone params-only checkpoint (cross-stage / eval handoff)."""
     ckptr = ocp.StandardCheckpointer()

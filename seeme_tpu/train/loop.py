@@ -27,6 +27,17 @@ if TYPE_CHECKING:  # avoid a models <-> train import cycle at runtime
 LossFn = Callable[[Dict, Dict, jax.Array], Tuple[jnp.ndarray, Dict]]
 
 
+def _fetch_terms(terms: Dict) -> Dict[str, float]:
+    """One device->host transfer for the whole metric dict: each scalar
+    fetched separately costs a ~32 ms relay round trip on this box, so a
+    5-term loss would spend 160 ms/dispatch on bookkeeping alone."""
+    import numpy as np
+
+    keys = sorted(terms)
+    vals = np.asarray(jnp.stack([terms[k] for k in keys]))
+    return dict(zip(keys, vals.tolist()))
+
+
 def _make_step_body(
     system: "SeeMeSystem",
     stage: str,
@@ -197,8 +208,8 @@ def run_epoch_device(
             stacked = jax.device_put(stacked, sharding)
         state, terms = gather_step(state, device_data, stacked)
         n = len(sels)
-        for key, v in terms.items():  # terms are means over the group
-            acc[key] = acc.get(key, 0.0) + float(v) * n
+        for key, v in _fetch_terms(terms).items():  # means over the group
+            acc[key] = acc.get(key, 0.0) + v * n
         return state, n
 
     buf = []
@@ -274,8 +285,8 @@ def run_epoch(
         for stacked in prefetch_to_device(grouped(), size=2, sharding=sharding):
             state, terms = scan_step(state, stacked)
             count += k
-            for key, v in terms.items():  # terms are means over the k steps
-                acc[key] = acc.get(key, 0.0) + float(v) * k
+            for key, v in _fetch_terms(terms).items():  # means over k steps
+                acc[key] = acc.get(key, 0.0) + v * k
         remaining = iter(tail)
     else:
         remaining = iter(batches)
@@ -284,8 +295,8 @@ def run_epoch(
     for batch in prefetch_to_device(remaining, size=2, sharding=sharding):
         state, terms = train_step(state, batch)
         count += 1
-        for key, v in terms.items():
-            acc[key] = acc.get(key, 0.0) + float(v)
+        for key, v in _fetch_terms(terms).items():
+            acc[key] = acc.get(key, 0.0) + v
     elapsed = time.perf_counter() - t0
     means = {key: v / max(count, 1) for key, v in acc.items()}
     if log_fn is not None:

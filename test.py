@@ -88,6 +88,10 @@ def main():
     params = system.init_params(jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
 
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    if ckpt:
+        from seeme_tpu.train.checkpoint import resolve_latest
+
+        ckpt = resolve_latest(ckpt)
     if ckpt and os.path.exists(ckpt):
         params = restore_params(ckpt, params)
         logger.info("loaded checkpoint %s", ckpt)

@@ -87,3 +87,19 @@ def test_restore_params_from_state_dir(tmp_path):
     with pytest.raises(KeyError):
         restore_params(str(tmp_path / "checkpoints" / "3"),
                        {"missing_subtree": {"x": jnp.zeros(1)}})
+
+
+def test_resolve_latest(tmp_path):
+    """'checkpoints/latest' resolves to the highest numeric step dir; other
+    paths (and 'latest' under a missing/empty dir) pass through. Regression:
+    a silently-unresolved PRETRAINED_VAE froze a random VAE in stage 2."""
+    from seeme_tpu.train.checkpoint import resolve_latest
+
+    ckpts = tmp_path / "checkpoints"
+    ckpts.mkdir()
+    for step in (800, 1600, 3200):
+        (ckpts / str(step)).mkdir()
+    assert resolve_latest(str(ckpts / "latest")) == str(ckpts / "3200")
+    assert resolve_latest(str(ckpts / "1600")) == str(ckpts / "1600")
+    missing = tmp_path / "nope" / "latest"
+    assert resolve_latest(str(missing)) == str(missing)

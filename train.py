@@ -105,9 +105,22 @@ def main():
     params = system.init_params(jax.random.PRNGKey(seed))
 
     pretrained_vae = str(cfg.select("TRAIN.PRETRAINED_VAE", "") or "")
-    if stage == "diffusion" and pretrained_vae and os.path.exists(pretrained_vae):
-        params = load_pretrained_vae(pretrained_vae, params)
-        logger.info("loaded pretrained VAE from %s", pretrained_vae)
+    if stage == "diffusion" and pretrained_vae:
+        from seeme_tpu.train.checkpoint import resolve_latest
+
+        # the configs point at "checkpoints/latest": resolve to the highest
+        # numeric step dir (the reference resolves resume checkpoints the
+        # same scan-the-directory way, `train.py:26-53`)
+        pretrained_vae = resolve_latest(pretrained_vae)
+        if os.path.exists(pretrained_vae):
+            params = load_pretrained_vae(pretrained_vae, params)
+            logger.info("loaded pretrained VAE from %s", pretrained_vae)
+        else:
+            # a silent skip here trains stage 2 against a FROZEN RANDOM
+            # VAE — the run "converges" on noise-MSE but samples garbage
+            logger.warning(
+                "TRAIN.PRETRAINED_VAE=%s does not exist — stage-2 training "
+                "will freeze a randomly initialized VAE", pretrained_vae)
 
     batch_size = int(cfg.TRAIN.BATCH_SIZE)
     end_epoch = int(cfg.TRAIN.END_EPOCH)
@@ -233,7 +246,7 @@ def main():
         from seeme_tpu.train import make_gather_scan_train_step, run_epoch_device
 
         try:
-            arrays = dict(datamodule.split_arrays("train"))
+            arrays = dict(datamodule.split_arrays("train") or {}) or None
         except (AttributeError, KeyError, FileNotFoundError):
             arrays = None
         if arrays is not None:
