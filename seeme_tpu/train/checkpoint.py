@@ -29,16 +29,41 @@ def _abs(path: str) -> str:
     return os.path.abspath(os.path.expanduser(path))
 
 
-def make_manager(exp_dir: str, keep_every: int = 1) -> ocp.CheckpointManager:
+def make_manager(
+    exp_dir: str, keep_every: int = 1, fresh: bool = False
+) -> ocp.CheckpointManager:
+    """`fresh=True` clears numeric step dirs left by earlier runs: orbax's
+    CheckpointManager SILENTLY skips `save(step)` when `step` is below the
+    latest existing step, so a rerun into a used experiment dir would log
+    'checkpoint @ step N' while writing nothing (observed; regression test
+    in tests/test_checkpoint.py)."""
     ckpt_dir = _abs(os.path.join(exp_dir, "checkpoints"))
     os.makedirs(ckpt_dir, exist_ok=True)
+    if fresh:
+        import logging
+        import shutil
+
+        stale = [d for d in os.listdir(ckpt_dir) if re.fullmatch(r"\d+", d)]
+        for d in stale:
+            shutil.rmtree(os.path.join(ckpt_dir, d))
+        if stale:
+            logging.getLogger("seeme_tpu.train").warning(
+                "cleared %d checkpoint step dir(s) left in %s by an earlier "
+                "run (fresh run; orbax skips saves below the stale latest "
+                "step)", len(stale), ckpt_dir)
     options = ocp.CheckpointManagerOptions(max_to_keep=None, create=True)
     return ocp.CheckpointManager(ckpt_dir, options=options)
 
 
 def save_state(manager: ocp.CheckpointManager, state: TrainState, step: int) -> None:
-    manager.save(step, args=ocp.args.StandardSave(_host(state)))
+    saved = manager.save(step, args=ocp.args.StandardSave(_host(state)))
     manager.wait_until_finished()
+    if not saved:
+        raise RuntimeError(
+            f"orbax skipped the checkpoint save at step {step} (latest "
+            f"existing step: {manager.latest_step()}) — stale step dirs "
+            "from an earlier run? Start non-resume runs with "
+            "make_manager(..., fresh=True)")
 
 
 def _host(tree):

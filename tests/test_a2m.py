@@ -61,6 +61,53 @@ def test_feats_to_joints_fk(setup):
     np.testing.assert_allclose(joints[0, 0, 0], [0.5, 0.0, -0.25], atol=1e-5)
 
 
+def test_a2m_device_data_epoch_matches_host_batches():
+    """The device-resident gather dispatch must train the action branch
+    identically to host-sliced batches: the a2m datamodules now expose
+    split_arrays/batch_indices (shared epoch_indices generator), so batch
+    order — and therefore every step — is bit-comparable."""
+    from seeme_tpu.data.registry import SyntheticA2MDataModule
+    from seeme_tpu.train import (
+        create_train_state,
+        make_gather_scan_train_step,
+        make_optimizer,
+        make_train_step,
+        run_epoch,
+        run_epoch_device,
+    )
+
+    cfg = A2MConfig(nfeats=150, num_frames=16, num_classes=12,
+                    num_inference_timesteps=4)
+    system = A2MSystem(cfg)
+    params = system.init_params(jax.random.PRNGKey(0))
+    dm = SyntheticA2MDataModule({"DEBUG": True}, num_frames=16)
+    opt = make_optimizer("diffusion", params, lr=1e-3)
+
+    state_a = create_train_state(params, opt, jax.random.PRNGKey(7))
+    single = make_train_step(system, "diffusion", opt)
+    state_a, means_a = run_epoch(
+        single, state_a, dm.batches("train", 8, seed=3))
+
+    state_b = create_train_state(params, opt, jax.random.PRNGKey(7))
+    gather = make_gather_scan_train_step(system, "diffusion", opt)
+    device_data = {k: jnp.asarray(v) for k, v in dm.split_arrays("train").items()}
+    state_b, means_b = run_epoch_device(
+        gather, state_b, device_data,
+        dm.batch_indices("train", 8, seed=3), steps_per_dispatch=4,
+    )
+
+    assert int(state_a.step) == int(state_b.step)
+    for k in means_a:
+        np.testing.assert_allclose(means_a[k], means_b[k], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        state_a.params,
+        state_b.params,
+    )
+
+
 def test_humanact12_real_loader(tmp_path):
     """Real-release pkl -> ACTOR-layout features: rot6d blocks orthonormal,
     root trajectory starts at origin, fixed shapes with true lengths."""

@@ -89,6 +89,31 @@ def test_restore_params_from_state_dir(tmp_path):
                        {"missing_subtree": {"x": jnp.zeros(1)}})
 
 
+def test_fresh_run_clears_stale_steps(tmp_path):
+    """orbax CheckpointManager SILENTLY skips save(step) when step is below
+    the latest existing step dir — a rerun into a used experiment dir logged
+    'checkpoint @ N' while writing nothing (observed on a real run). A fresh
+    (non-resume) manager must purge stale step dirs; save_state must raise
+    rather than lose a checkpoint silently."""
+    import os
+
+    import pytest
+
+    params = make_params()
+    opt = make_optimizer("vae", params)
+    state = create_train_state(params, opt, jax.random.PRNGKey(0))
+
+    save_state(make_manager(str(tmp_path)), state, 100)
+    # without fresh=True the lower-step save is skipped -> now an error
+    with pytest.raises(RuntimeError, match="skipped"):
+        save_state(make_manager(str(tmp_path)), state, 50)
+
+    # fresh manager purges the stale step and the save lands
+    save_state(make_manager(str(tmp_path), fresh=True), state, 50)
+    ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
+    assert "50" in ckpts and "100" not in ckpts
+
+
 def test_resolve_latest(tmp_path):
     """'checkpoints/latest' resolves to the highest numeric step dir; other
     paths (and 'latest' under a missing/empty dir) pass through. Regression:

@@ -140,9 +140,12 @@ def main():
     )
     state = create_train_state(params, optimizer, jax.random.PRNGKey(seed + 1))
 
-    manager = make_manager(exp_dir)
     start_epoch = 0
     resume = str(cfg.select("TRAIN.RESUME", "") or "")
+    # a non-resume run must clear stale step dirs in its own experiment dir:
+    # orbax silently skips saves below the stale latest step (checkpoint.py)
+    resuming_here = resume and os.path.abspath(resume) == os.path.abspath(exp_dir)
+    manager = make_manager(exp_dir, fresh=not resuming_here)
     if resume:
         _, latest = resume_scan(resume)
         if latest is not None:
