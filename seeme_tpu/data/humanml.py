@@ -34,18 +34,31 @@ class SyntheticT2MDataset:
         self.max_len = max_len
         self.nfeats = nfeats
         self.lengths = rng.randint(min_len, max_len + 1, num_samples)
+        # per-class base pose + drift make the caption -> motion mapping
+        # learnable (the a2m synthetic data does the same): the t2m system's
+        # conditioning and a contrastively trained evaluator both have real
+        # signal to pick up, so synthetic convergence runs mean something.
+        # Class tables come from a FIXED stream so every split shares the
+        # same 7 class signatures (real classes look alike across splits)
+        crng = np.random.RandomState(7777)
+        base = crng.randn(7, nfeats).astype(np.float32) * 0.4
+        drift = crng.randn(7, nfeats).astype(np.float32) * 0.01
         self.motions = []
         for i in range(num_samples):
             T = self.lengths[i]
-            m = np.cumsum(rng.randn(T, nfeats).astype(np.float32) * 0.05, axis=0)
+            c = i % 7
+            m = base[c] + np.cumsum(
+                rng.randn(T, nfeats).astype(np.float32) * 0.05 + drift[c], axis=0
+            )
             self.motions.append(m)
         flat = np.concatenate(self.motions)
         self.mean = flat.mean(0)
         self.std = flat.std(0) + 1e-6
         self.texts = [f"a person performs action {i % 7}" for i in range(num_samples)]
-        # deterministic pseudo text embeddings correlated with the label,
-        # at the configured conditioning width
-        self.text_embs = rng.randn(7, text_dim).astype(np.float32)[
+        # deterministic pseudo text embeddings correlated with the label, at
+        # the configured conditioning width — drawn from the same fixed
+        # stream as the class tables so splits agree on them
+        self.text_embs = crng.randn(7, text_dim).astype(np.float32)[
             np.arange(num_samples) % 7
         ]
 
@@ -114,6 +127,35 @@ class HumanML3DDataModule:
         caption = lines[0].split("#")[0] if lines else ""
         return m.astype(np.float32), caption
 
+    def split_arrays(self, split: str) -> Dict[str, np.ndarray]:
+        """Per-sample arrays for the device-resident gather path. Synthetic
+        only: captions there are precomputed `text_emb` rows, so training
+        needs no host-side encoding; the real release loads motion/caption
+        files lazily per id (host path). train.py catches the KeyError and
+        falls back."""
+        if not self.is_synthetic:
+            raise KeyError("device-resident arrays: synthetic humanml only")
+        ds = self._sets[split]
+        items = [ds[i] for i in range(len(ds))]
+        return {
+            "motion": np.stack([it["motion"] for it in items]),
+            "length": np.stack([it["length"] for it in items]),
+            "text_emb": np.stack([it["text_emb"] for it in items]),
+        }
+
+    def batch_indices(
+        self, split: str, batch_size: int, shuffle=None, seed: int = 0,
+        drop_last: bool = True,
+    ):
+        from .batch import epoch_indices
+
+        if not self.is_synthetic:
+            raise KeyError("device-resident arrays: synthetic humanml only")
+        if shuffle is None:
+            shuffle = split == "train"
+        return epoch_indices(len(self._sets[split]), batch_size,
+                             shuffle=shuffle, seed=seed, drop_last=drop_last)
+
     def batches(
         self, split: str, batch_size: int, shuffle=None, seed: int = 0,
         drop_last: bool = True,
@@ -121,13 +163,12 @@ class HumanML3DDataModule:
         if shuffle is None:
             shuffle = split == "train"
         if self.is_synthetic:
+            from .batch import epoch_indices
+
             ds = self._sets[split]
-            idx = np.arange(len(ds))
-            if shuffle:
-                np.random.RandomState(seed).shuffle(idx)
-            stop = (len(ds) // batch_size) * batch_size if drop_last else len(ds)
-            for i in range(0, stop, batch_size):
-                items = [ds[j] for j in idx[i : i + batch_size]]
+            for sel in epoch_indices(len(ds), batch_size, shuffle=shuffle,
+                                     seed=seed, drop_last=drop_last):
+                items = [ds[j] for j in sel]
                 yield {
                     "motion": np.stack([it["motion"] for it in items]),
                     "length": np.stack([it["length"] for it in items]),

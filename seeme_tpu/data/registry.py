@@ -154,10 +154,14 @@ class SyntheticA2MDataModule:
         self.mean = np.zeros(nfeats, np.float32)
         self.std = np.ones(nfeats, np.float32)
 
+        # one class-signature table for ALL splits (a real dataset's classes
+        # look the same in train and test; per-split bases made a natively
+        # trained recognition model score 0 on val)
+        base = rng.randn(num_classes, 1, nfeats).astype(np.float32)
+
         def make(n_samples, seed):
             r = np.random.RandomState(seed)
             labels = r.randint(0, num_classes, n_samples)
-            base = r.randn(num_classes, 1, nfeats).astype(np.float32)
             motion = np.cumsum(
                 r.randn(n_samples, num_frames, nfeats).astype(np.float32) * 0.02,
                 axis=1,

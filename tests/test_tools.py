@@ -214,3 +214,55 @@ def test_export_fbx_fallback_paths(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "b.fbx").exists() or (tmp_path / "b.glb").exists()
+
+
+@pytest.mark.slow
+def test_train_evaluator_a2m(tmp_path):
+    """Natively trained a2m GRU evaluator (tools/train_evaluator.py) learns
+    the shared-across-splits class signatures: val accuracy far above the
+    1/12 chance after a few epochs, and the checkpoint loads back through
+    test.py's TEST.EVALUATOR_CHECKPOINT restore path."""
+    out = tmp_path / "gru"
+    r = subprocess.run(
+        [sys.executable, "tools/train_evaluator.py", "--cfg",
+         "configs/config_mld_humanact12.yaml", "--cpu", "--epochs", "12",
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    import re
+
+    accs = re.findall(r"val_acc=([0-9.]+)", r.stdout + r.stderr)
+    assert accs and float(accs[-1]) > 0.3, (accs, r.stderr[-500:])
+
+    from seeme_tpu.train.checkpoint import restore_params
+    from seeme_tpu.eval import MotionDiscriminator
+
+    clf = MotionDiscriminator(hidden_size=128, num_layers=2, output_size=12)
+    template = clf.init(
+        __import__("jax").random.PRNGKey(0), jnp.zeros((1, 60, 72)),
+        jnp.ones((1,), jnp.int32))
+    restored = restore_params(str(out), template)
+    assert set(restored) == set(template)
+
+
+@pytest.mark.slow
+def test_train_evaluator_t2m(tmp_path):
+    """The contrastive TM2T-evaluator trainer writes the text/move/motion
+    checkpoint layout and reaches retrieval far above the 1/32 chance on the
+    val pools (label-correlated synthetic captions; duplicate captions cap
+    R@1 well below 1.0)."""
+    out = tmp_path / "t2m"
+    r = subprocess.run(
+        [sys.executable, "tools/train_evaluator.py", "--cfg",
+         "configs/config_mld_humanml3d.yaml", "--cpu", "--debug",
+         "--epochs", "150", "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    import re
+
+    accs = re.findall(r"R@1\(32\)=([0-9.]+)", r.stdout + r.stderr)
+    assert accs and float(accs[-1]) > 0.15, (accs, r.stderr[-500:])
+    for sub in ("text", "move", "motion"):
+        assert (out / sub).exists()

@@ -233,14 +233,18 @@ def main():
     # scene cache, most of the remaining step wall time. When the split fits
     # in HBM, upload it once and gather minibatches on-device from k*B int32
     # indices per dispatch. Identical batch order (data/batch.py::
-    # epoch_indices is shared) and identical step math. Inapplicable to t2m
-    # (host-side caption encoding) and image conditioning (host-side crop
-    # pick + normalize). TRAIN.DEVICE_DATA=true/false overrides.
+    # epoch_indices is shared) and identical step math. Inapplicable to
+    # image conditioning (host-side crop pick + normalize) and to real-
+    # release t2m (host-side caption encoding — its split_arrays raises).
+    # TRAIN.DEVICE_DATA=true/false overrides.
     device_data = None
     use_device_data = cfg.select("TRAIN.DEVICE_DATA", None)
     if use_device_data is None:
         use_device_data = jax.default_backend() != "cpu"
-    if (use_device_data and not is_t2m and not getattr(system, "use_image", False)
+    # t2m qualifies only when the datamodule ships precomputed text_emb rows
+    # (synthetic set); the real release encodes captions host-side and its
+    # split_arrays raises KeyError -> host-batched fallback below
+    if (use_device_data and not getattr(system, "use_image", False)
             and hasattr(datamodule, "split_arrays")
             and hasattr(datamodule, "batch_indices")):
         import numpy as np
