@@ -205,6 +205,12 @@ def _gltf_fallback(args) -> str:
 
     if args.poses:
         # FK the axis-angle poses to joints, export the animated-joint glb
+        import jax
+
+        try:  # offline host tool: never initialize the (possibly dead) TPU relay
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         import jax.numpy as jnp
 
         from seeme_tpu.core import load_smpl, synthetic_smpl

@@ -540,6 +540,16 @@ def convert_t2m_movementencoder(sd: Dict) -> Dict:
 
 
 def main():
+    # conversion is pure host work; pin the CPU backend BEFORE orbax/seeme
+    # imports can initialize the default one — with the axon TPU relay
+    # unreachable, backend discovery otherwise blocks indefinitely
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
                     choices=["mld", "prohmr", "egohmr", "t2m_text",

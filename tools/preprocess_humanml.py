@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--feet_thre", type=float, default=None)
     args = ap.parse_args()
 
+    import jax
+
+    try:  # offline host tool: never initialize the (possibly dead) TPU relay
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from seeme_tpu.core.motion_process import SPECS, get_offsets_joints, process_file

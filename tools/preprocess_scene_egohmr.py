@@ -188,6 +188,12 @@ def run_s2(data_root: str, save_root: str, split: str, target: int = 20000,
     import pandas as pd
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    try:  # offline host tool: never initialize the (possibly dead) TPU relay
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from seeme_tpu.core.smpl import load_smpl, smpl_forward, synthetic_smpl
