@@ -34,7 +34,40 @@ RELAY_S = 0.032   # measured fixed axon-relay round trip, subtracted for `value`
 MEASURED_PEAK_FLOPS = 173e12
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast if the accelerator backend is unreachable. The axon TPU
+    relay can go down for hours (BASELINE.md); when it does, backend
+    discovery blocks FOREVER inside jax.devices() — a clear error beats a
+    silent hang for whoever scheduled this run. Probed in a subprocess so
+    the timeout can actually fire."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench.py: accelerator backend unreachable (device discovery "
+            f"still blocked after {timeout_s:.0f}s — the axon relay is "
+            "likely down; see BASELINE.md). No measurement taken.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if r.returncode != 0:
+        print(
+            "bench.py: backend probe failed:\n"
+            + r.stderr.decode(errors="replace")[-2000:],
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
 def main():
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
