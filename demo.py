@@ -89,12 +89,15 @@ def _demo_text(args, cfg, datamodule):
     import numpy as np
 
     from seeme_tpu.config.build import build_t2m_system
-    from seeme_tpu.train.checkpoint import restore_params
+    from seeme_tpu.train.checkpoint import resolve_latest, restore_params
 
     system, sys_cfg = build_t2m_system(cfg, datamodule)
     params = system.init_params(
         jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    # configs point at ".../checkpoints/latest" (no literal dir on disk):
+    # resolve to the highest numeric step dir, matching test.py/train.py
+    ckpt = resolve_latest(ckpt) if ckpt else ckpt
     if ckpt and os.path.exists(ckpt):
         params = restore_params(ckpt, params)
         print(f"loaded {ckpt}")
@@ -178,12 +181,15 @@ def _demo_action(args, cfg, datamodule):
     import numpy as np
 
     from seeme_tpu.config.build import build_a2m_system, load_smpl_or_synthetic
-    from seeme_tpu.train.checkpoint import restore_params
+    from seeme_tpu.train.checkpoint import resolve_latest, restore_params
 
     system, sys_cfg = build_a2m_system(cfg, datamodule)
     params = system.init_params(
         jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    # configs point at ".../checkpoints/latest" (no literal dir on disk):
+    # resolve to the highest numeric step dir, matching test.py/train.py
+    ckpt = resolve_latest(ckpt) if ckpt else ckpt
     if ckpt and os.path.exists(ckpt):
         params = restore_params(ckpt, params)
         print(f"loaded {ckpt}")
@@ -222,12 +228,15 @@ def _demo_ego(args, cfg, datamodule):
     import numpy as np
 
     from seeme_tpu.config.build import build_system
-    from seeme_tpu.train.checkpoint import restore_params
+    from seeme_tpu.train.checkpoint import resolve_latest, restore_params
 
     system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
     params = system.init_params(
         jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234))))
     ckpt = args.checkpoint or str(cfg.select("TEST.CHECKPOINTS", "") or "")
+    # configs point at ".../checkpoints/latest" (no literal dir on disk):
+    # resolve to the highest numeric step dir, matching test.py/train.py
+    ckpt = resolve_latest(ckpt) if ckpt else ckpt
     if ckpt and os.path.exists(ckpt):
         params = restore_params(ckpt, params)
         print(f"loaded {ckpt}")

@@ -167,13 +167,33 @@ def export_skinned_fbx(poses: np.ndarray, transl: np.ndarray | None,
     pbones = arm_obj.pose.bones
     for b in pbones:
         b.rotation_mode = "QUATERNION"
+    # Blender applies pose rotations in each bone's REST-LOCAL basis, while
+    # SMPL local rotations are expressed in the parent-joint frame (identity
+    # orientation at rest). The bones above are built with arbitrary
+    # head->tail directions (toward the mean child), so a direct quaternion
+    # assignment would distort every non-identity pose. Conjugate each
+    # rotation into the bone's rest basis: q_i = M_i^-1 @ R_i @ M_i, with
+    # M_i = rotation of rest `matrix_local`; by induction over the chain the
+    # posed armature-space orientation is then exactly the SMPL world
+    # rotation times the rest orientation, and Blender's skinning transform
+    # P_i @ M_i^-1 matches SMPL's G_i @ G_rest_i^-1. (The reference gets
+    # away with direct assignment only because its Unity template's bone
+    # rests were authored for it, `fbx_output.py:111-151`.)
+    rest = {
+        name: np.array(arm_obj.data.bones[name].matrix_local.to_3x3())
+        for name in BONE_NAMES
+    }
     for t in range(len(poses)):
         for i, name in enumerate(BONE_NAMES):
-            q = Matrix(rotmats[t, i].tolist()).to_quaternion()
+            m = rest[name]
+            q_mat = m.T @ rotmats[t, i] @ m  # rest basis is orthonormal
+            q = Matrix(q_mat.tolist()).to_quaternion()
             pbones[name].rotation_quaternion = Quaternion(q)
             pbones[name].keyframe_insert("rotation_quaternion", frame=t)
         if transl is not None:
-            pbones[BONE_NAMES[0]].location = Vector(transl[t].tolist())
+            # pose-bone location is rest-local too
+            loc = rest[BONE_NAMES[0]].T @ np.asarray(transl[t], np.float64)
+            pbones[BONE_NAMES[0]].location = Vector(loc.tolist())
             pbones[BONE_NAMES[0]].keyframe_insert("location", frame=t)
 
     scene = bpy.context.scene

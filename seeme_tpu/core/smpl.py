@@ -223,8 +223,17 @@ def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.n
 
     `parents` (the model's own table) is accepted for interface parity but
     the walk uses the canonical PARENTS constant — real SMPL pkls carry the
-    same table (kintree_table IS the standard tree).
+    same table (kintree_table IS the standard tree). A non-canonical table
+    would make rel_pos and the chain walk silently disagree, so concrete
+    (non-traced) parents are checked against PARENTS here.
     """
+    if not isinstance(parents, jax.core.Tracer):
+        if not np.array_equal(np.asarray(parents), PARENTS):
+            raise ValueError(
+                "smpl._rigid_transforms: parents table differs from the "
+                "canonical SMPL PARENTS constant — the chain walk is "
+                "specialized to the standard kintree_table and would produce "
+                f"inconsistent FK. Got {np.asarray(parents).tolist()}")
     rel_pos = joints - jnp.where(
         (parents >= 0)[None, :, None], joints[:, jnp.clip(parents, 0), :], 0.0
     )

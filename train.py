@@ -142,16 +142,39 @@ def main():
 
     start_epoch = 0
     resume = str(cfg.select("TRAIN.RESUME", "") or "")
-    # a non-resume run must clear stale step dirs in its own experiment dir:
-    # orbax silently skips saves below the stale latest step (checkpoint.py)
-    resuming_here = resume and os.path.abspath(resume) == os.path.abspath(exp_dir)
-    manager = make_manager(exp_dir, fresh=not resuming_here)
     if resume:
+        # Accept the experiment dir, its `checkpoints/` dir, or a step /
+        # `latest` entry under it — all normalize to the experiment dir, so
+        # path-spelling variants can't defeat the resuming-here check below.
+        r = os.path.abspath(os.path.expanduser(resume))
+        if os.path.basename(r).isdigit() or os.path.basename(r) == "latest":
+            r = os.path.dirname(r)
+        if os.path.basename(r) == "checkpoints":
+            r = os.path.dirname(r)
+        resume = r
+        # Validate the resume source BEFORE constructing the fresh manager:
+        # make_manager(fresh=True) purges step dirs, and a mistyped RESUME
+        # must error out rather than delete this experiment's (possibly the
+        # resume source's) checkpoints.
         _, latest = resume_scan(resume)
-        if latest is not None:
-            state, step = restore_state(make_manager(resume), state)
-            start_epoch = step // steps_per_epoch
-            logger.info("resumed from %s @ step %d (epoch %d)", resume, step, start_epoch)
+        if latest is None:
+            raise FileNotFoundError(
+                f"TRAIN.RESUME={resume} has no checkpoint step dirs under "
+                f"{os.path.join(resume, 'checkpoints')} — refusing to start "
+                "(a fresh start would purge existing checkpoints; unset "
+                "TRAIN.RESUME to train from scratch)")
+        # a warm start from ANOTHER experiment dir still clears this dir's
+        # stale step dirs (orbax silently skips saves below the stale latest
+        # step — checkpoint.py); resuming in place must not purge itself
+        resuming_here = resume == os.path.abspath(exp_dir)
+        manager = make_manager(exp_dir, fresh=not resuming_here)
+        state, step = restore_state(make_manager(resume), state)
+        start_epoch = step // steps_per_epoch
+        logger.info("resumed from %s @ step %d (epoch %d)", resume, step, start_epoch)
+    else:
+        # a non-resume run must clear stale step dirs in its own experiment
+        # dir: orbax silently skips saves below the stale latest step
+        manager = make_manager(exp_dir, fresh=True)
 
     # Stage-2 scene cache: the frozen PointNet is ~90% of the train step
     # (scripts/TRAIN_PROFILE.json: 57 of 64 ms at batch 64) and its output is
