@@ -58,7 +58,19 @@ class SyntheticEgoDataset:
         if with_scene:
             self.scene = rng.randn(num_samples, scene_points, 3).astype(np.float32)
         if with_image:
-            self.image = rng.rand(num_samples, image_size, image_size, 3).astype(np.float32)
+            # weakly informative image (like a real egocentric crop): a
+            # fixed random projection of the wearer's mean pose drives
+            # horizontal color stripes + noise, so the frozen-ResNet
+            # image-conditioning path has an actually learnable signal
+            proj = rng.randn(P, 3 * 8).astype(np.float32) * 0.5
+            code = np.tanh(wearer.mean(axis=1) @ proj)        # (N, 24)
+            stripes = np.repeat(
+                code.reshape(num_samples, 8, 1, 3),
+                image_size // 8 + 1, axis=1)[:, :image_size]  # (N, H, 1, 3)
+            self.image = (
+                0.5 + 0.35 * stripes
+                + 0.1 * rng.rand(num_samples, image_size, image_size, 3)
+            ).clip(0, 1).astype(np.float32)
         self.length = np.full((num_samples,), T, np.int32)
         # precomputed per-sample features (e.g. frozen scene embeddings)
         # attached by the train loop; sliced into every batch

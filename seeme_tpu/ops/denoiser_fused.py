@@ -520,6 +520,160 @@ def ddim_fused(
     )
 
 
+def _grid_kernel_factory(treedef, inv_treedef, step_treedef, num_steps,
+                         num_layers, guidance_scale, n_inv, n_step):
+    do_cfg = guidance_scale > 1.0
+
+    def kernel(*refs):
+        acp_ref, acp_prev_ref, z0_ref = refs[:3]
+        inv_refs = refs[3:3 + n_inv]
+        step_refs = refs[3 + n_inv:3 + n_inv + n_step]
+        param_refs = refs[3 + n_inv + n_step:-1]
+        out_ref = refs[-1]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = z0_ref[...]
+
+        params = jax.tree.unflatten(treedef, [r[...] for r in param_refs])
+        inv_static = jax.tree.unflatten(inv_treedef, [r[...] for r in inv_refs])
+        # blocked per-step rows: BlockSpec already delivered THIS step's
+        # (1, dim) slice — no one-hot selection, no dynamic indexing
+        step_rows = jax.tree.unflatten(step_treedef, [r[...] for r in step_refs])
+        inv = {
+            name: dict(inv_static[name],
+                       k_e=step_rows[name]["k_emb"],
+                       v_e=step_rows[name]["v_emb"],
+                       ca_eo=step_rows[name]["ca_eo"],
+                       ffn_eo=step_rows[name]["ffn_eo"])
+            for name in inv_static
+        }
+
+        z = out_ref[...].astype(jnp.float32)
+        B = z.shape[0]
+        if do_cfg:
+            z_in = jnp.concatenate([z, z], axis=0)
+            pred = denoiser_apply_pure(
+                params, z_in, None, None, num_layers,
+                md_invariants=inv, cond_projected=True,
+            )
+            uncond, cond_pred = pred[:B], pred[B:]
+            eps = uncond + guidance_scale * (cond_pred - uncond)
+        else:
+            eps = denoiser_apply_pure(
+                params, z, None, None, num_layers,
+                md_invariants=inv, cond_projected=True,
+            )
+        acp_t = acp_ref[0, i]
+        acp_prev = acp_prev_ref[0, i]
+        x0 = (z - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
+        out_ref[...] = (jnp.sqrt(acp_prev) * x0
+                        + jnp.sqrt(1.0 - acp_prev) * eps).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "num_layers", "guidance_scale", "interpret"),
+)
+def ddim_fused_grid(
+    denoiser_params: Dict,
+    cond: jnp.ndarray,          # (B or 2B, n_cond, text_dim)
+    z0: jnp.ndarray,            # (B, 1, D)
+    timesteps: jnp.ndarray,
+    acp_t: jnp.ndarray,
+    acp_prev: jnp.ndarray,
+    num_steps: int = 50,
+    num_layers: int = 5,
+    guidance_scale: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`ddim_fused` restructured as a Pallas grid over the diffusion steps —
+    the idiomatic Mosaic shape for a fixed-trip sequential loop (T=1 MD path
+    only; `ddim_fused` remains the general entry).
+
+    Differences vs the fori_loop kernel, all latency wins at identical math:
+      * every step-dependent quantity (time-token MLP and its per-layer
+        k/v + stylization emb_linear projections) is precomputed for ALL
+        steps OUTSIDE the kernel in plain XLA (f32, ~25 tiny matmuls per
+        window) and streamed in as (1, dim) blocks by the grid's BlockSpec —
+        the fori_loop kernel re-selected them per step with 20 one-hot
+        (1, num_steps) matmuls (M=1 MXU streams, ~38% of the measured step
+        in the ceil-tile model, scripts/DDIM_ROOFLINE.json);
+      * the condition projection and per-layer xf invariants likewise move
+        to XLA (f32 instead of bf16 weights: strictly closer to the scan);
+      * z carries across grid iterations in the revisited output block
+        (Mosaic keeps unchanged-index blocks VMEM-resident; weights are
+        fetched once).
+
+    The grid executes sequentially on the TensorCore, preserving the
+    step-order dependency by construction.
+    """
+    assert z0.shape[1] == 1, "grid kernel is specialized to the T=1 path"
+    dp = denoiser_params["params"]
+
+    # ---- XLA-side per-window precompute (f32)
+    cond_p = cond
+    if "emb_proj_dense" in dp:
+        cond_p = _dense(dp["emb_proj_dense"], jax.nn.relu(cond))
+        freq_dim = dp["emb_proj_dense"]["kernel"].shape[0]
+    else:
+        freq_dim = z0.shape[-1]
+    t_emb_all = _timestep_embedding(
+        timesteps.astype(jnp.float32), None,
+        freqs=jnp.asarray(timestep_freqs(freq_dim)),
+    )
+    te = dp["time_embedding"]
+    time_tokens = _dense(te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all)))
+    full_inv = md_step_invariants(dp["encoder"], cond_p, num_layers,
+                                  time_tokens=time_tokens)
+    inv_static = {n: {k: d[k] for k in ("k_xf", "v_xf", "ca_key", "ca_value")}
+                  for n, d in full_inv.items()}
+    step_rows = {n: {k: d[k] for k in ("k_emb", "v_emb", "ca_eo", "ffn_eo")}
+                 for n, d in full_inv.items()}
+
+    inv_leaves, inv_treedef = jax.tree.flatten(inv_static)
+    step_leaves, step_treedef = jax.tree.flatten(step_rows)
+    leaves, treedef = jax.tree.flatten(denoiser_params)
+    leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
+
+    kernel = _grid_kernel_factory(
+        treedef, inv_treedef, step_treedef, num_steps, num_layers,
+        guidance_scale, len(inv_leaves), len(step_leaves),
+    )
+
+    whole = lambda *shape: pl.BlockSpec(  # noqa: E731 — same block every step
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2            # acp, acp_prev
+        + [whole(*z0.shape)]
+        + [whole(*l.shape) for l in inv_leaves]
+        + [pl.BlockSpec((1, l.shape[1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for l in step_leaves]
+        + [whole(*l.shape) for l in leaves_bf16]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_steps,),
+        out_shape=jax.ShapeDtypeStruct(z0.shape, z0.dtype),
+        in_specs=in_specs,
+        out_specs=whole(*z0.shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        acp_t.reshape(1, -1).astype(jnp.float32),
+        acp_prev.reshape(1, -1).astype(jnp.float32),
+        z0,
+        *inv_leaves,
+        *step_leaves,
+        *leaves_bf16,
+    )
+
+
 def ddim_schedule_arrays(schedule, num_steps: int):
     """Precompute (timesteps, acp_t, acp_prev) for the fused kernel."""
     ts = schedule.ddim_timesteps(num_steps)

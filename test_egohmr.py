@@ -46,7 +46,7 @@ def main():
 
     model = EgoHmr(cfg, smpl)
     dm = EgoHmrImageDataModule(root=args.data_root, n_pts=args.scene_points,
-                               img_size=img_size)
+                               img_size=img_size, smpl=smpl)
     params = model.init_params(jax.random.PRNGKey(0))
     if args.checkpoint:
         params = restore_params(args.checkpoint, params)

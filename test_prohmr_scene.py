@@ -40,7 +40,7 @@ def main():
     smpl = synthetic_smpl(n_verts=256 if args.tiny else 6890)
     model = ProHMRScene(cfg, smpl)
     dm = EgoHmrImageDataModule(root=args.data_root, n_pts=args.scene_points,
-                               img_size=64 if args.tiny else 224)
+                               img_size=64 if args.tiny else 224, smpl=smpl)
 
     params = model.init_params(jax.random.PRNGKey(0))
     if args.checkpoint:

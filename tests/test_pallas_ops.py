@@ -152,3 +152,60 @@ class TestFusedDenoiser:
         np.testing.assert_allclose(
             np.asarray(unrolled), np.asarray(z), atol=0.02 * scale
         )
+
+        # the grid-over-steps kernel (v2: per-step rows streamed by
+        # BlockSpec, invariants precomputed in XLA) — same math, and its
+        # f32 XLA-side invariants sit strictly closer to the scan
+        grid = df.ddim_fused_grid(
+            params, cond, z0, tsa, acp_t, acp_prev, num_steps=NS,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grid), np.asarray(z), atol=0.02 * scale
+        )
+        # v1 and v2 agree with each other much tighter than with the f32
+        # scan (both share the bf16 latent-row path)
+        np.testing.assert_allclose(
+            np.asarray(grid), np.asarray(fused), atol=0.01 * scale
+        )
+
+    def test_fused_grid_cfg_matches_loop(self):
+        """CFG path: the doubled-cond grid kernel matches the fori_loop
+        kernel at guidance > 1 (uncond rows zeroed, `mld.py:467-492`)."""
+        import jax
+
+        from seeme_tpu.diffusion import DiffusionSchedule
+        from seeme_tpu.models import Denoiser
+        from seeme_tpu.ops import denoiser_fused as df
+
+        den = Denoiser(nfeats=75, md_trans=True)
+        B, D, NS = 3, 256, 4
+        rng = np.random.RandomState(2)
+        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+        cond = jnp.asarray(rng.randn(B, 2, D).astype(np.float32))
+        cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+        params = den.init(jax.random.PRNGKey(0), z0,
+                          jnp.zeros((B,), jnp.int32), cond)
+        params = jax.tree.map(
+            lambda a: a + 0.02 * jax.random.normal(
+                jax.random.PRNGKey(7), a.shape),
+            params,
+        )
+        sched = DiffusionSchedule()
+        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
+        ts = np.asarray(sched.ddim_timesteps(NS))
+        z = z0
+        for t in ts:  # f32 scan reference with explicit CFG mixing
+            z_in = jnp.concatenate([z, z], axis=0)
+            pred = den.apply(params, z_in, jnp.full((2 * B,), t), cond2)
+            eps = pred[:B] + 2.5 * (pred[B:] - pred[:B])
+            z = sched.ddim_step(eps, jnp.asarray(t), z, NS)
+        scale = float(jnp.abs(z).max())
+        # both kernels round differently (bf16 invariants in-kernel vs f32
+        # XLA-side), and guidance 2.5 amplifies the deviation ~2.5x — each
+        # must sit within the guidance-scaled bf16 envelope of the f32 scan
+        for fused_fn in (df.ddim_fused, df.ddim_fused_grid):
+            out = fused_fn(params, cond2, z0, tsa, acp_t, acp_prev,
+                           num_steps=NS, guidance_scale=2.5, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(z),
+                                       atol=0.02 * scale)

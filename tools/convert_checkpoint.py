@@ -198,20 +198,63 @@ def convert_denoiser(sd: Dict, num_layers: int = 5, md_trans: bool = True) -> Di
     return {"params": params}
 
 
-def convert_mld_checkpoint(state_dict: Dict, num_layers: int = 5,
-                           md_trans: bool = True,
+def infer_skip_layers(sd: Dict, prefix: str = "encoder.input_blocks.") -> int:
+    """num_layers of a SkipTransformer stack from its state-dict keys
+    (2 * n_input_blocks + 1); None when the prefix is absent."""
+    ids = {int(k.split(prefix)[1].split(".")[0])
+           for k in sd if k.startswith(prefix)}
+    return 2 * (max(ids) + 1) + 1 if ids else None
+
+
+def infer_md_trans(sd: Dict) -> bool:
+    """MD stylization layers carry sa_block/ca_block submodules."""
+    return any(".sa_block." in k for k in sd)
+
+
+def infer_glow_shape(sd: Dict, prefix: str = "flow.flow") -> tuple:
+    """(num_layers, depth, features, hidden, context) of a ConditionalGlow
+    from its state-dict keys: 3 transforms per layer (ActNorm/LULinear/
+    Coupling), ResidualNet depth from `.blocks.N`, context from the
+    initial-layer input width minus features//2."""
+    tids = {int(k.split("._transforms.")[1].split(".")[0])
+            for k in sd if f"{prefix}._transform._transforms." in k}
+    num_layers = (max(tids) + 1) // 3
+    D = sd[f"{prefix}._transform._transforms.0.log_scale"].shape[-1]
+    bids = {int(k.split(".blocks.")[1].split(".")[0])
+            for k in sd if prefix in k and ".blocks." in k}
+    depth = max(bids) + 1
+    init_key = next(k for k in sd
+                    if k.startswith(prefix) and k.endswith("initial_layer.weight"))
+    hidden = sd[init_key].shape[0]
+    ctx = sd[init_key].shape[1] - D // 2
+    return num_layers, depth, D, hidden, ctx
+
+
+def infer_gcn_layers(sd: Dict, prefix: str = "diffusion_model.gconv_layers.") -> int:
+    ids = {int(k.split(prefix)[1].split(".")[0])
+           for k in sd if k.startswith(prefix)}
+    return max(ids) + 1 if ids else 0
+
+
+def convert_mld_checkpoint(state_dict: Dict, num_layers: int = None,
+                           md_trans: bool = None,
                            vae_arch: str = "encoder_decoder") -> Dict:
     """Full MLD Lightning checkpoint -> {vae, denoiser, output_scene...}.
     Applies the reference's key filters: text_encoder absent, `smpl.*` /
-    `proscene.smpl.*` dropped."""
+    `proscene.smpl.*` dropped. num_layers/md_trans default to per-subtree
+    inference from the state dict (the vae and denoiser stacks may differ;
+    the reference vae ctor hard-codes 5 layers, `mld_vae.py:51-53`)."""
     sd = {k: v for k, v in state_dict.items() if not k.startswith(("smpl_model.", "text_encoder."))}
     vae_sd = {k[len("vae."):]: v for k, v in sd.items() if k.startswith("vae.")}
     den_sd = {k[len("denoiser."):]: v for k, v in sd.items() if k.startswith("denoiser.")}
     out = {}
     if vae_sd:  # stage-1 checkpoints are VAE-only
-        out["vae"] = convert_motion_vae(vae_sd, num_layers, arch=vae_arch)
+        vae_layers = num_layers or infer_skip_layers(vae_sd) or 5
+        out["vae"] = convert_motion_vae(vae_sd, vae_layers, arch=vae_arch)
     if den_sd:
-        out["denoiser"] = convert_denoiser(den_sd, num_layers, md_trans)
+        den_layers = num_layers or infer_skip_layers(den_sd) or 5
+        den_md = infer_md_trans(den_sd) if md_trans is None else md_trans
+        out["denoiser"] = convert_denoiser(den_sd, den_layers, den_md)
     if "output_scene.1.weight" in sd:
         out["output_scene"] = {"params": {"linear": convert_linear(sd, "output_scene.1")}}
     if "output_images.1.weight" in sd:
@@ -539,6 +582,16 @@ def convert_t2m_movementencoder(sd: Dict) -> Dict:
     }
 
 
+def _t2m_sub(sd: Dict, key: str) -> Dict:
+    """The released `text_mot_match/model/finest.tar` bundles the three t2m
+    evaluators as nested state dicts keyed 'text_encoder' /
+    'movement_encoder' / 'motion_encoder'; standalone .tar saves are bare
+    state dicts. Accept both, so one --src file serves all three kinds."""
+    if key in sd and isinstance(sd[key], dict):
+        return sd[key]
+    return sd
+
+
 def main():
     # conversion is pure host work; pin the CPU backend BEFORE orbax/seeme
     # imports can initialize the default one — with the axon TPU relay
@@ -557,8 +610,10 @@ def main():
                              "uestc_stgcn"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--num_layers", type=int, default=5)
-    ap.add_argument("--md_trans", action="store_true", default=True)
+    ap.add_argument("--num_layers", type=int, default=None,
+                    help="override; default: inferred from the state dict")
+    ap.add_argument("--md_trans", action="store_true", default=None,
+                    help="override; default: inferred from the state dict")
     ap.add_argument("--vae_arch", default="encoder_decoder",
                     choices=["encoder_decoder", "all_encoder"])
     args = ap.parse_args()
@@ -573,12 +628,14 @@ def main():
                                         vae_arch=args.vae_arch)
     elif args.kind == "prohmr":
         sd = {k: v for k, v in sd.items() if not k.startswith("smpl")}
+        g_layers, g_depth, _, _, _ = infer_glow_shape(sd, "flow.flow")
         params = {
             "backbone": convert_resnet50(sd, "backbone"),
             "scene_enc": convert_pointnet(
                 {k[len("scene_enc."):]: v for k, v in sd.items() if k.startswith("scene_enc.")}
             ),
-            "flow": convert_glow(sd, "flow.flow", num_layers=4, depth=2),
+            "flow": convert_glow(sd, "flow.flow", num_layers=g_layers,
+                                 depth=g_depth),
             "fc_head": {
                 "params": {
                     "fc1": convert_linear(sd, "flow.fc_head.layers.0"),
@@ -589,17 +646,17 @@ def main():
     elif args.kind == "egohmr":
         sd = {k: v for k, v in sd.items()
               if not k.startswith(("smpl", "criterion"))}
-        params = convert_egohmr(sd)
+        params = convert_egohmr(sd, num_gcn_layers=infer_gcn_layers(sd))
     elif args.kind == "t2m_text":
-        params = convert_t2m_textencoder(sd)
+        params = convert_t2m_textencoder(_t2m_sub(sd, "text_encoder"))
     elif args.kind == "t2m_motion":
-        params = convert_t2m_motionencoder(sd)
+        params = convert_t2m_motionencoder(_t2m_sub(sd, "motion_encoder"))
     elif args.kind == "a2m_gru":
         params = convert_a2m_gru(sd)
     elif args.kind == "uestc_stgcn":
         params = convert_uestc_stgcn(sd)
     else:
-        params = convert_t2m_movementencoder(sd)
+        params = convert_t2m_movementencoder(_t2m_sub(sd, "movement_encoder"))
 
     from seeme_tpu.train.checkpoint import save_params
 

@@ -56,7 +56,7 @@ def main():
 
     model = EgoHmr(cfg, smpl)
     dm = EgoHmrImageDataModule(root=args.data_root, n_pts=args.scene_points,
-                               img_size=img_size)
+                               img_size=img_size, smpl=smpl)
     if dm.is_synthetic:
         print("no processed_images found -> synthetic data")
 

@@ -65,7 +65,7 @@ def main():
         smpl = synthetic_smpl(n_verts=6890)
     model = ProHMRScene(cfg, smpl)
     dm = EgoHmrImageDataModule(root=args.data_root, n_pts=args.scene_points,
-                               img_size=64 if args.tiny else 224)
+                               img_size=64 if args.tiny else 224, smpl=smpl)
     if dm.is_synthetic:
         print("no processed_images found -> synthetic data")
 
