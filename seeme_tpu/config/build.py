@@ -53,6 +53,7 @@ def seeme_config_from_yaml(cfg: Config) -> SeeMeConfig:
         scene_points=int(model.get("scene_points", 20000)),
         scene_feat_dim=int(model.get("scene_feat_dim", 512)),
         use_fused=bool(model.get("use_fused", True)),
+        fused_variant=str(model.get("fused_variant", "loop")),
         loss=loss_weights_from_config(cfg),
     )
 

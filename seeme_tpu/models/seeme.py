@@ -73,6 +73,11 @@ class SeeMeConfig:
     # (ops/denoiser_fused.py docstring); test.py disables it by default so
     # parity evals run the exact path (opt in via TEST.USE_FUSED=true).
     use_fused: bool = True
+    # "loop": fori_loop kernel (one-hot step selects, bf16 in-kernel
+    # invariants); "grid": Pallas grid over steps with BlockSpec-streamed
+    # per-step rows + f32 XLA-side invariants (ops/denoiser_fused.py v2).
+    # A/B via scripts/ddim_roofline.py; same math either way.
+    fused_variant: str = "loop"
     loss: LossWeights = field(default_factory=LossWeights)
 
     @property
@@ -492,14 +497,21 @@ class SeeMeSystem:
         ):
             # whole reverse process as one VMEM-resident Pallas kernel
             # (ops/denoiser_fused.py): ~3x faster than the XLA scan
-            from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
+            from ..ops.denoiser_fused import (
+                ddim_fused,
+                ddim_fused_grid,
+                ddim_schedule_arrays,
+            )
 
             rng, init_rng = jax.random.split(rng)
             z0 = jax.random.normal(init_rng, shape) * self.schedule.init_noise_sigma
             tsa, acp_t, acp_prev = ddim_schedule_arrays(
                 self.schedule, cfg.num_inference_timesteps
             )
-            z = ddim_fused(
+            impl = (ddim_fused_grid
+                    if cfg.fused_variant == "grid" and cfg.latent_dim[0] == 1
+                    else ddim_fused)
+            z = impl(
                 params["denoiser"], cond_full, z0, tsa, acp_t, acp_prev,
                 num_steps=cfg.num_inference_timesteps,
                 num_layers=cfg.num_layers,

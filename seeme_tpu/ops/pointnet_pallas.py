@@ -197,7 +197,28 @@ def _pointnet_bwd(res, g):
 pointnet_forward_pallas.defvjp(_pointnet_fwd, _pointnet_bwd)
 
 
+# Canonical per-kernel batch: Mosaic compile time grows with the grid's
+# program count, and the (64, 50)-grid executable for batch 64 x 20k points
+# took 20-40 min through the axon remote-compile tunnel while (16, 50) takes
+# ~2 min (BASELINE.md compile-time note). Larger batches therefore run as a
+# lax.map over fixed 16-row chunks: the Pallas kernel is compiled ONCE at
+# the chunk shape and reused, making flagship-batch (64) scene training
+# reachable in batch-16 compile time. The grid is sequential on one core, so
+# chunking costs no parallelism.
+BATCH_CHUNK = 16
+
+
 def _pointnet_forward_impl(params: Dict, points: jnp.ndarray) -> jnp.ndarray:
+    B = points.shape[0]
+    if B > BATCH_CHUNK and B % BATCH_CHUNK == 0:
+        chunks = points.reshape(B // BATCH_CHUNK, BATCH_CHUNK, *points.shape[1:])
+        out = jax.lax.map(
+            lambda c: _pointnet_forward_chunk(params, c), chunks)
+        return out.reshape(B, out.shape[-1])
+    return _pointnet_forward_chunk(params, points)
+
+
+def _pointnet_forward_chunk(params: Dict, points: jnp.ndarray) -> jnp.ndarray:
     p = params["params"]
     b0 = p["block_0"]
     x, pooled = fused_input_block(

@@ -50,6 +50,29 @@ class TestFusedPointnet:
     def test_tile_picker(self):
         assert pointnet_pallas._pick_tile(20000) == 400
         assert pointnet_pallas._pick_tile(20480) == 512
+
+    def test_batch_chunking_matches_unchunked(self):
+        """Batches above BATCH_CHUNK run as a lax.map over fixed chunks so
+        one Mosaic executable serves every batch (the (64, 50)-grid compile
+        took 20-40 min through the relay; the chunked form compiles at the
+        batch-16 shape). Must be numerically identical to per-chunk calls."""
+        pn = ResnetPointnet()
+        params = pn.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 3)))
+        B = 2 * pointnet_pallas.BATCH_CHUNK
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(B, 64, 3).astype(np.float32))
+        chunked = _interpreted(
+            pointnet_pallas.pointnet_forward_pallas, params, x)
+        per_chunk = jnp.concatenate([
+            _interpreted(pointnet_pallas.pointnet_forward_pallas, params,
+                         x[i:i + pointnet_pallas.BATCH_CHUNK])
+            for i in range(0, B, pointnet_pallas.BATCH_CHUNK)
+        ])
+        np.testing.assert_allclose(np.asarray(chunked),
+                                   np.asarray(per_chunk), atol=1e-6)
+        ref = pn.apply(params, x)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                                   atol=2e-4)
         assert pointnet_pallas._pick_tile(1024) == 512
         assert pointnet_pallas._pick_tile(128) == 128
 
