@@ -142,7 +142,8 @@ class SyntheticEgoDataset:
             if self.with_scene and "scene_feats" not in self.extras:
                 # cached frozen scene features supersede the raw cloud
                 batch["scene"] = self.scene[sel]
-            if self.with_image:
+            if self.with_image and "image_feats" not in self.extras:
+                # same for cached frozen ResNet50 image features
                 batch["image"] = self.image[sel]
             for k, v in self.extras.items():
                 batch[k] = v[sel]

@@ -399,13 +399,28 @@ class SeeMeSystem:
             B = batch["feats"].shape[0]
             tokens.append(jnp.zeros((B, 1, cfg.latent_dim[-1])))
         if self.use_image:
-            feats = self.image_encoder.apply(
-                params["image_encoder"], batch["image"], train=False
-            )
+            if "image_feats" in batch:
+                # precomputed frozen-ResNet50 features (train.py's stage-2
+                # cache, same mechanism as scene_feats): the backbone never
+                # updates (`mld.py:235-246`), so only the trainable
+                # output_images projection runs per step
+                feats = batch["image_feats"]
+            else:
+                feats = self.image_encoder.apply(
+                    params["image_encoder"], batch["image"], train=False
+                )
             tokens.append(
                 self.output_images.apply(params["output_images"], feats)[:, None, :]
             )
         return jnp.concatenate(tokens, axis=1)
+
+    def image_features(self, params: Dict, image: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) crops -> (B, 2048) frozen-ResNet50 features — the
+        deterministic, parameter-frozen stage of the image conditioning
+        (`mld.py:1084-1154`); cacheable per sample exactly like
+        `scene_features`."""
+        return self.image_encoder.apply(
+            params["image_encoder"], image, train=False)
 
     def diffusion_loss(self, params: Dict, batch: Dict, rng: jax.Array):
         """Stage-2 denoiser loss (`train_diffusion_forward` +

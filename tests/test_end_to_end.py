@@ -156,6 +156,15 @@ def test_image_conditioning_path():
     out = system.sample(params, batch, jax.random.PRNGKey(2))
     assert out.shape == (4, 8, cfg.nfeats)
 
+    # the frozen-image-feature cache (train.py stage-2 precompute) must be
+    # bit-identical to encoding the raw crops in-step, like the scene cache
+    feats = system.image_features(params, batch["image"])
+    cached = dict(batch)
+    cached.pop("image")
+    cached["image_feats"] = feats
+    loss_c, _ = system.diffusion_loss(params, cached, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(loss), np.asarray(loss_c))
+
 
 def test_tensor_parallel_shardings():
     """(4, 2) dp x tp mesh: large kernels column-sharded over 'model',

@@ -190,31 +190,40 @@ def main():
     cache_scene = cfg.select("TRAIN.SCENE_CACHE", None)
     if cache_scene is None:
         cache_scene = jax.default_backend() != "cpu"
-    if (cache_scene and stage != "vae" and getattr(system, "use_scene", False)
+    frozen_encoders = []
+    if getattr(system, "use_scene", False):
+        frozen_encoders.append(("scene", "scene_feats", system.scene_features))
+    if getattr(system, "use_image", False):
+        # the ResNet50 image backbone is frozen like the PointNet
+        # (`mld.py:235-246`); its per-sample features cache the same way
+        frozen_encoders.append(("image", "image_feats", system.image_features))
+    if (cache_scene and stage != "vae" and frozen_encoders
             and float(getattr(sys_cfg, "guidance_scale", 1.0)) <= 1.0
             and hasattr(datamodule, "attach_split_features")):
         import numpy as np
 
-        feats_fn = jax.jit(lambda p, s: system.scene_features(p, s))
-        for split in ("train", "val"):
-            try:
-                scene = datamodule.split_array(split, "scene")
-            except (AttributeError, KeyError, FileNotFoundError):
-                continue
-            chunks = []
-            cs = max(batch_size, 8)
-            for i in range(0, len(scene), cs):
-                chunk = scene[i:i + cs]
-                pad = cs - len(chunk)
-                if pad:  # fixed-shape jit: pad the tail chunk
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], pad, axis=0)])
-                out = np.asarray(feats_fn(state.params, jax.numpy.asarray(chunk)))
-                chunks.append(out[: cs - pad] if pad else out)
-            datamodule.attach_split_features(
-                split, "scene_feats", np.concatenate(chunks))
-            logger.info("precomputed frozen scene features for %s "
-                        "(%d samples)", split, len(scene))
+        for raw_key, feat_key, encode in frozen_encoders:
+            feats_fn = jax.jit(lambda p, s, _e=encode: _e(p, s))
+            for split in ("train", "val"):
+                try:
+                    raw = datamodule.split_array(split, raw_key)
+                except (AttributeError, KeyError, FileNotFoundError):
+                    continue
+                chunks = []
+                cs = max(batch_size, 8)
+                for i in range(0, len(raw), cs):
+                    chunk = raw[i:i + cs]
+                    pad = cs - len(chunk)
+                    if pad:  # fixed-shape jit: pad the tail chunk
+                        chunk = np.concatenate(
+                            [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                    out = np.asarray(
+                        feats_fn(state.params, jax.numpy.asarray(chunk)))
+                    chunks.append(out[: cs - pad] if pad else out)
+                datamodule.attach_split_features(
+                    split, feat_key, np.concatenate(chunks))
+                logger.info("precomputed frozen %s features for %s "
+                            "(%d samples)", raw_key, split, len(raw))
 
     mesh = make_mesh(model_axis=int(cfg.select("MESH.MODEL_AXIS", 1)))
     logger.info(
@@ -267,7 +276,7 @@ def main():
     # t2m qualifies only when the datamodule ships precomputed text_emb rows
     # (synthetic set); the real release encodes captions host-side and its
     # split_arrays raises KeyError -> host-batched fallback below
-    if (use_device_data and not getattr(system, "use_image", False)
+    if (use_device_data
             and hasattr(datamodule, "split_arrays")
             and hasattr(datamodule, "batch_indices")):
         import numpy as np
@@ -284,6 +293,12 @@ def main():
                 arrays.pop(k, None)
             if "scene_feats" in arrays:
                 arrays.pop("scene", None)
+            # raw image crops are host-side work (crop pick + normalize) —
+            # the device path serves image configs only through the frozen
+            # image_feats cache
+            if getattr(system, "use_image", False) and "image_feats" not in arrays:
+                arrays = None
+        if arrays is not None:
             total_gb = sum(v.nbytes for v in arrays.values()) / 1e9
             max_gb = float(cfg.select("TRAIN.DEVICE_DATA_MAX_GB", 4.0))
             if total_gb <= max_gb:
