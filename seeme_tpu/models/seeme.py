@@ -248,6 +248,13 @@ class SeeMeSystem:
         pose = feats_raw[..., 3 : cfg.pose_feats].reshape(B * T, -1)
         if cfg.dataset_name == "gimo":
             pose = jnp.concatenate([pose, jnp.zeros((B * T, 6), pose.dtype)], axis=-1)
+        # Conscious fix of a reference quirk: the reference's GIMO branch FKs
+        # the PREDICTED pose with the GROUND-TRUTH global orientation
+        # (`mld.py:852-858`, tagged "#! change orientation from ref to rst"
+        # next to a commented-out "SOTA WERE HERE" line) — debug leftovers
+        # that make its GIMO losses/metrics blind to orientation errors.
+        # Here every FK uses the features' own orientation slice (SURVEY.md
+        # hard-parts #5).
         glob = feats_raw[..., :3].reshape(B * T, 3)
         if cfg.predict_transl:
             trans = feats_raw[..., -3:].reshape(B * T, 3)
