@@ -205,26 +205,38 @@ class T2MSystem:
             )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
-        # n_cond <= 8: the fused kernel keeps per-layer cond projections
-        # VMEM-resident — fine for the pooled CLIP token, ruinous for the
-        # 77-token clip_hidden/bert sequences (the scan path serves those)
-        if (cfg.use_fused and jax.default_backend() != "cpu"
-                and cond.shape[1] <= 8 and cond_mask is None):
+        if cfg.use_fused and jax.default_backend() != "cpu":
             # whole (CFG) reverse process in one VMEM-resident Pallas kernel
-            from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
+            from ..ops.denoiser_fused import (
+                ddim_fused, ddim_fused_tokens, ddim_schedule_arrays)
 
             rng, init_rng = jax.random.split(rng)
             z0 = jax.random.normal(init_rng, shape) * self.schedule.init_noise_sigma
             tsa, acp_t, acp_prev = ddim_schedule_arrays(
                 self.schedule, cfg.num_inference_timesteps
             )
-            z = ddim_fused(
-                params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
-                num_steps=cfg.num_inference_timesteps,
-                num_layers=cfg.num_layers,
-                guidance_scale=cfg.guidance_scale,
-                md_trans=False,
-            )
+            if cond.shape[1] <= 8 and cond_mask is None:
+                # pooled-token modes: per-layer cond projections hoisted
+                # into VMEM once per window (`ddim_fused`)
+                z = ddim_fused(
+                    params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
+                    num_steps=cfg.num_inference_timesteps,
+                    num_layers=cfg.num_layers,
+                    guidance_scale=cfg.guidance_scale,
+                    md_trans=False,
+                )
+            else:
+                # 77-token clip_hidden/bert modes (padded + masked): the
+                # sample-grid kernel — hoisting ~100 MB of per-layer cond
+                # invariants is ruinous, so each grid step owns one
+                # sample's full reverse process instead
+                z = ddim_fused_tokens(
+                    params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
+                    cond_mask=cond_mask,
+                    num_steps=cfg.num_inference_timesteps,
+                    num_layers=cfg.num_layers,
+                    guidance_scale=cfg.guidance_scale,
+                )
         else:
 
             def denoiser_fn(x, t, step_rng):

@@ -64,13 +64,18 @@ def _block_ids(n_rows: int, block: int):
     return ids // block
 
 
-def _mha_1head(p, x):
+def _mha_1head(p, x, key_mask_add=None):
     """Single-head self-attention over a short token axis (B, S, D).
 
     Mosaic cannot lower batched dot_generals, so per-sample attention is one
     block-diagonal-masked (B*S, B*S) matmul pair: rows attend only within
     their own sample's S-token block (additive -1e9 off-block), which is
-    exactly per-sample softmax attention but runs on the MXU."""
+    exactly per-sample softmax attention but runs on the MXU.
+
+    key_mask_add (B, S) f32 additive (0 valid / -1e9 padded) excludes padded
+    condition tokens as attention KEYS in every layer, matching the flax
+    path's `key_valid_mask` (`models/denoiser.py:183-188`); padded rows still
+    produce (unused) outputs, which is exactly the flax semantics too."""
     B, S, D = x.shape
     q = _dense(p["q_proj"], x).reshape(B * S, D)
     k = _dense(p["k_proj"], x).reshape(B * S, D)
@@ -78,6 +83,8 @@ def _mha_1head(p, x):
     logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(D)
     row = _block_ids(B * S, S)
     logits = jnp.where(row == row.T, logits, -1e9)
+    if key_mask_add is not None:
+        logits = logits + key_mask_add.reshape(1, B * S)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.dot(
         attn.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -85,7 +92,7 @@ def _mha_1head(p, x):
     return _dense(p["out_proj"], out)
 
 
-def _encoder_layer(p, x, activation="relu"):
+def _encoder_layer(p, x, activation="relu", key_mask_add=None):
     """Post-norm TransformerEncoderLayer (relu ff in the MD sa_block; gelu in
     the plain denoiser path, `configs/modules/denoiser.yaml`)."""
     # tanh-approx gelu: Pallas TPU lowering has no erf/erfc primitive; the
@@ -93,7 +100,8 @@ def _encoder_layer(p, x, activation="relu"):
     act = jax.nn.relu if activation == "relu" else functools.partial(
         jax.nn.gelu, approximate=True
     )
-    x = _layer_norm(x + _mha_1head(p["self_attn"], x), p["norm1"]["scale"], p["norm1"]["bias"])
+    x = _layer_norm(x + _mha_1head(p["self_attn"], x, key_mask_add),
+                    p["norm1"]["scale"], p["norm1"]["bias"])
     h = _dense(p["linear2"], act(_dense(p["linear1"], x)))
     return _layer_norm(x + h, p["norm2"]["scale"], p["norm2"]["bias"])
 
@@ -273,7 +281,9 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
                         freqs=None, md_trans: bool = True,
                         text_freq_dim: int = None,
                         md_invariants: Dict = None,
-                        cond_projected: bool = False) -> jnp.ndarray:
+                        cond_projected: bool = False,
+                        key_mask_add: jnp.ndarray = None,
+                        time_token: jnp.ndarray = None) -> jnp.ndarray:
     """Pure-jnp twin of `models/denoiser.Denoiser.apply` (both block types).
 
     params: the flax param dict of `models/denoiser.Denoiser`.
@@ -283,12 +293,20 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
     concatenation [x; time; cond] keeping the first n_tok outputs
     (`mld_denoiser.py:193-222`). When text_encoded_dim != D the condition is
     projected by relu->emb_proj first.
+
+    key_mask_add (B, n_tok+1+n_cond) f32 additive key mask for the plain
+    (md_trans=False) token-concat path — the fixed-length padded
+    clip_hidden/bert tokens excluded as keys. time_token (B, 1, D) overrides
+    the in-graph timestep MLP with a precomputed embedded time token (the
+    fused token kernel precomputes all steps' tokens outside the loop).
     """
     p = params["params"]
     D = x.shape[-1]
     n_tok = x.shape[1]
     fast_md = md_trans and n_tok == 1
-    if fast_md and md_invariants is not None and "k_e" in next(
+    if time_token is not None:
+        time_emb = time_token
+    elif fast_md and md_invariants is not None and "k_e" in next(
             iter(md_invariants.values())):
         time_emb = None  # all steps' time tokens precomputed in md_invariants
     else:
@@ -340,13 +358,16 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
     h = xseq + pe[None].astype(xseq.dtype)
     skips = []
     for i in range(n_block):
-        h = _encoder_layer(enc[f"input_{i}"], h, activation="gelu")
+        h = _encoder_layer(enc[f"input_{i}"], h, activation="gelu",
+                           key_mask_add=key_mask_add)
         skips.append(h)
-    h = _encoder_layer(enc["middle"], h, activation="gelu")
+    h = _encoder_layer(enc["middle"], h, activation="gelu",
+                       key_mask_add=key_mask_add)
     for i in range(n_block):
         h = jnp.concatenate([h, skips.pop()], axis=-1)
         h = _dense(enc[f"skip_linear_{i}"], h)
-        h = _encoder_layer(enc[f"output_{i}"], h, activation="gelu")
+        h = _encoder_layer(enc[f"output_{i}"], h, activation="gelu",
+                           key_mask_add=key_mask_add)
     h = _layer_norm(h, enc["norm"]["scale"], enc["norm"]["bias"])
     return h[:, :n_tok]
 
@@ -670,6 +691,164 @@ def ddim_fused_grid(
         z0,
         *inv_leaves,
         *step_leaves,
+        *leaves_bf16,
+    )
+
+
+def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
+                          n_cfg):
+    do_cfg = n_cfg == 2
+
+    def kernel(acp_ref, acp_prev_ref, z_ref, cond_ref, mask_ref, tt_ref,
+               *refs):
+        param_refs = refs[:-1]
+        out_ref = refs[-1]
+        params = jax.tree.unflatten(treedef, [r[...] for r in param_refs])
+        z0 = z_ref[...].astype(jnp.float32)            # (1, n_tok, D)
+        cond = cond_ref[...].astype(jnp.float32)        # (1, n_cfg, N, D)
+        cond = cond.reshape(cond.shape[1:])             # (n_cfg, N, D)
+        S = z0.shape[1] + 1 + cond.shape[1]
+        mask_add = jnp.broadcast_to(
+            mask_ref[...].astype(jnp.float32), (n_cfg, S))
+        tt = tt_ref[...]                                # (num_steps, D) f32
+
+        def body(i, z):
+            # this step's precomputed time token: one-hot matmul (Mosaic has
+            # no dynamic VMEM indexing); a single (1, num_steps) row per step
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, num_steps), 1) == i
+            ).astype(jnp.float32)
+            t_tok = jnp.dot(onehot, tt, preferred_element_type=jnp.float32)
+            time_token = jnp.broadcast_to(
+                t_tok[None], (n_cfg, 1, tt.shape[-1]))
+            z_in = (jnp.concatenate([z, z], axis=0) if do_cfg else z)
+            pred = denoiser_apply_pure(
+                params, z_in, None, cond, num_layers, md_trans=False,
+                cond_projected=True, key_mask_add=mask_add,
+                time_token=time_token,
+            )
+            if do_cfg:
+                uncond = jax.lax.slice_in_dim(pred, 0, 1, axis=0)
+                cond_pred = jax.lax.slice_in_dim(pred, 1, 2, axis=0)
+                eps = uncond + guidance_scale * (cond_pred - uncond)
+            else:
+                eps = pred
+            acp_t = acp_ref[0, i]
+            acp_prev = acp_prev_ref[0, i]
+            x0 = (z - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
+            return jnp.sqrt(acp_prev) * x0 + jnp.sqrt(1.0 - acp_prev) * eps
+
+        out_ref[...] = jax.lax.fori_loop(0, num_steps, body, z0).astype(
+            out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "num_layers", "guidance_scale", "interpret"),
+)
+def ddim_fused_tokens(
+    denoiser_params: Dict,
+    cond: jnp.ndarray,          # (B or 2B, n_cond, text_dim); CFG: [uncond; cond]
+    z0: jnp.ndarray,            # (B, n_tok, D) initial noise (already scaled)
+    timesteps: jnp.ndarray,     # (num_steps,) int32, descending
+    acp_t: jnp.ndarray,
+    acp_prev: jnp.ndarray,
+    cond_mask: jnp.ndarray = None,   # (B or 2B, n_cond) True = valid token
+    num_steps: int = 50,
+    num_layers: int = 5,
+    guidance_scale: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused DDIM for the LONG-conditioning token modes (md_trans=False).
+
+    `ddim_fused` hoists per-layer condition projections into VMEM — fine for
+    the pooled CLIP token, ruinous at the 77-token clip_hidden/bert
+    sequences (~100 MB of invariants at batch 64). This variant instead runs
+    a Pallas GRID OVER SAMPLES: each grid step owns one sample's full
+    50-step reverse process over the [latent; time; cond] token concat
+    (`mld_denoiser.py:110-121`), so the working set is one sample's tokens
+    — (n_cfg*S, D) activations and an (n_cfg*S)^2 logits tile at S = n_tok
+    + 1 + n_cond — while the bf16 weights stay VMEM-resident across the
+    whole grid (constant-index blocks are fetched once). Per-window
+    XLA-side precompute (f32): the emb_proj condition projection and the
+    time-token MLP for all steps. CFG runs both halves as 2 rows of the
+    same sample's block-diagonal attention. Padded condition tokens are
+    excluded as attention keys via an additive mask, matching the flax
+    `key_valid_mask` semantics exactly.
+    """
+    B = z0.shape[0]
+    dp = denoiser_params["params"]
+    do_cfg = guidance_scale > 1.0
+    n_cfg = 2 if do_cfg else 1
+    assert cond.shape[0] == n_cfg * B, (cond.shape, B, guidance_scale)
+
+    # ---- XLA-side per-window precompute (f32, batched: better MXU shapes)
+    cond_p = cond
+    if "emb_proj_dense" in dp:
+        cond_p = _dense(dp["emb_proj_dense"], jax.nn.relu(cond))
+        freq_dim = dp["emb_proj_dense"]["kernel"].shape[0]
+    else:
+        freq_dim = z0.shape[-1]
+    # (B, n_cfg, N, D): sample-major so the grid can block per sample; CFG
+    # order inside each sample stays [uncond; cond] (`t2m.py::sample`)
+    cond_p = jnp.stack([cond_p[h * B:(h + 1) * B] for h in range(n_cfg)],
+                       axis=1)
+
+    t_emb_all = _timestep_embedding(
+        timesteps.astype(jnp.float32), None,
+        freqs=jnp.asarray(timestep_freqs(freq_dim)),
+    )
+    te = dp["time_embedding"]
+    time_tokens = _dense(
+        te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all)))
+
+    n_tok, D = z0.shape[1], z0.shape[2]
+    N = cond.shape[1]
+    S = n_tok + 1 + N
+    if cond_mask is None:
+        mask_add = jnp.zeros((B, S), jnp.float32)
+    else:
+        valid = jnp.concatenate(
+            [jnp.ones((B, n_tok + 1), bool), cond_mask[:B].astype(bool)],
+            axis=1)
+        mask_add = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    leaves, treedef = jax.tree.flatten(denoiser_params)
+    leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
+    kernel = _token_kernel_factory(
+        treedef, num_steps, num_layers, guidance_scale, n_cfg)
+
+    whole = lambda *shape: pl.BlockSpec(  # noqa: E731 — same block every step
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec((1, n_tok, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, n_cfg, N, D), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, S), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [whole(*time_tokens.shape)]
+        + [whole(*l.shape) for l in leaves_bf16]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct(z0.shape, z0.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n_tok, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        acp_t.reshape(1, -1).astype(jnp.float32),
+        acp_prev.reshape(1, -1).astype(jnp.float32),
+        z0,
+        cond_p.astype(jnp.float32),
+        mask_add,
+        time_tokens.astype(jnp.float32),
         *leaves_bf16,
     )
 
