@@ -101,6 +101,22 @@ def resolve_latest(path: str) -> str:
     return os.path.join(ckpt_dir, str(max(steps))) if steps else path
 
 
+def normalize_resume_dir(resume: str) -> str:
+    """Normalize a TRAIN.RESUME spelling to its experiment dir.
+
+    Accepts the experiment dir itself, its `checkpoints/` dir, or a step /
+    `latest` entry under it — so path-spelling variants can't defeat
+    train.py's resuming-in-place check (which decides whether the fresh
+    manager may purge stale step dirs; a mis-resolved path used to delete
+    the resume source's checkpoints — ADVICE r3)."""
+    r = os.path.abspath(os.path.expanduser(resume))
+    if os.path.basename(r).isdigit() or os.path.basename(r) == "latest":
+        r = os.path.dirname(r)
+    if os.path.basename(r) == "checkpoints":
+        r = os.path.dirname(r)
+    return r
+
+
 def save_params(path: str, params: Dict) -> None:
     """Standalone params-only checkpoint (cross-stage / eval handoff)."""
     ckptr = ocp.StandardCheckpointer()

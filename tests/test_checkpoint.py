@@ -128,3 +128,28 @@ def test_resolve_latest(tmp_path):
     assert resolve_latest(str(ckpts / "1600")) == str(ckpts / "1600")
     missing = tmp_path / "nope" / "latest"
     assert resolve_latest(str(missing)) == str(missing)
+
+
+def test_normalize_resume_dir(tmp_path):
+    """Every RESUME spelling (experiment dir / checkpoints dir / step dir /
+    'latest') normalizes to the experiment dir, so train.py's
+    resuming-in-place check can't be defeated by path spelling and purge the
+    resume source's checkpoints (ADVICE r3 medium)."""
+    from seeme_tpu.train.checkpoint import normalize_resume_dir
+
+    exp = tmp_path / "exp"
+    (exp / "checkpoints" / "3200").mkdir(parents=True)
+    want = str(exp.resolve())
+    for spelling in (
+        str(exp),
+        str(exp) + "/",
+        str(exp / "checkpoints"),
+        str(exp / "checkpoints" / "3200"),
+        str(exp / "checkpoints" / "latest"),
+    ):
+        assert normalize_resume_dir(spelling) == want, spelling
+    # a dir whose own name is numeric must not be stripped further than once
+    numeric_exp = tmp_path / "42"
+    (numeric_exp / "checkpoints").mkdir(parents=True)
+    assert normalize_resume_dir(
+        str(numeric_exp / "checkpoints")) == str(numeric_exp.resolve())

@@ -56,6 +56,7 @@ def main():
     from seeme_tpu.train.checkpoint import (
         load_pretrained_vae,
         make_manager,
+        normalize_resume_dir,
         restore_state,
         resume_scan,
         save_state,
@@ -146,12 +147,7 @@ def main():
         # Accept the experiment dir, its `checkpoints/` dir, or a step /
         # `latest` entry under it — all normalize to the experiment dir, so
         # path-spelling variants can't defeat the resuming-here check below.
-        r = os.path.abspath(os.path.expanduser(resume))
-        if os.path.basename(r).isdigit() or os.path.basename(r) == "latest":
-            r = os.path.dirname(r)
-        if os.path.basename(r) == "checkpoints":
-            r = os.path.dirname(r)
-        resume = r
+        resume = normalize_resume_dir(resume)
         # Validate the resume source BEFORE constructing the fresh manager:
         # make_manager(fresh=True) purges step dirs, and a mistyped RESUME
         # must error out rather than delete this experiment's (possibly the
