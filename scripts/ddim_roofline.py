@@ -21,7 +21,11 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 # v5e core geometry (public: cloud.google.com/tpu/docs/v5e): one MXU of

@@ -75,7 +75,10 @@ def _mha_1head(p, x, key_mask_add=None):
     key_mask_add (B, S) f32 additive (0 valid / -1e9 padded) excludes padded
     condition tokens as attention KEYS in every layer, matching the flax
     path's `key_valid_mask` (`models/denoiser.py:183-188`); padded rows still
-    produce (unused) outputs, which is exactly the flax semantics too."""
+    produce (unused) outputs, which is exactly the flax semantics too.
+    A pre-flattened (1, B*S) mask is also accepted — inside a Pallas kernel
+    the (B, S) -> (1, B*S) reshape is a sublane->lane shape cast Mosaic
+    cannot lower, so kernel callers flatten XLA-side."""
     B, S, D = x.shape
     q = _dense(p["q_proj"], x).reshape(B * S, D)
     k = _dense(p["k_proj"], x).reshape(B * S, D)
@@ -84,7 +87,9 @@ def _mha_1head(p, x, key_mask_add=None):
     row = _block_ids(B * S, S)
     logits = jnp.where(row == row.T, logits, -1e9)
     if key_mask_add is not None:
-        logits = logits + key_mask_add.reshape(1, B * S)
+        if key_mask_add.shape != (1, B * S):
+            key_mask_add = key_mask_add.reshape(1, B * S)
+        logits = logits + key_mask_add
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.dot(
         attn.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -561,8 +566,10 @@ def _grid_kernel_factory(treedef, inv_treedef, step_treedef, num_steps,
         params = jax.tree.unflatten(treedef, [r[...] for r in param_refs])
         inv_static = jax.tree.unflatten(inv_treedef, [r[...] for r in inv_refs])
         # blocked per-step rows: BlockSpec already delivered THIS step's
-        # (1, dim) slice — no one-hot selection, no dynamic indexing
-        step_rows = jax.tree.unflatten(step_treedef, [r[...] for r in step_refs])
+        # (1, 1, dim) slice (leading singleton satisfies Mosaic's block
+        # layout rule) — no one-hot selection, no dynamic indexing
+        step_rows = jax.tree.unflatten(
+            step_treedef, [r[...][0] for r in step_refs])
         inv = {
             name: dict(inv_static[name],
                        k_e=step_rows[name]["k_emb"],
@@ -672,7 +679,10 @@ def ddim_fused_grid(
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2            # acp, acp_prev
         + [whole(*z0.shape)]
         + [whole(*l.shape) for l in inv_leaves]
-        + [pl.BlockSpec((1, l.shape[1]), lambda i: (i, 0),
+        # step rows ship as (num_steps, 1, dim) with block (1, 1, dim): a
+        # bare (1, dim) block over (num_steps, dim) fails Mosaic lowering
+        # (second-to-last block dim 1 neither 8-divisible nor == num_steps)
+        + [pl.BlockSpec((1, 1, l.shape[1]), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM) for l in step_leaves]
         + [whole(*l.shape) for l in leaves_bf16]
     )
@@ -690,7 +700,7 @@ def ddim_fused_grid(
         acp_prev.reshape(1, -1).astype(jnp.float32),
         z0,
         *inv_leaves,
-        *step_leaves,
+        *[l[:, None, :] for l in step_leaves],
         *leaves_bf16,
     )
 
@@ -708,8 +718,12 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
         cond = cond_ref[...].astype(jnp.float32)        # (1, n_cfg, N, D)
         cond = cond.reshape(cond.shape[1:])             # (n_cfg, N, D)
         S = z0.shape[1] + 1 + cond.shape[1]
-        mask_add = jnp.broadcast_to(
-            mask_ref[...].astype(jnp.float32), (n_cfg, S))
+        # mask_ref block is (1, 1, n_cfg*S): pre-flattened XLA-side (the
+        # n_cfg repeats already concatenated along the lane axis) because
+        # Mosaic can lower neither a (1, S) block over a (B, S) array nor
+        # the (n_cfg, S) -> (1, n_cfg*S) sublane->lane reshape in-kernel;
+        # dropping the leading unit dims is the one reshape that IS free
+        mask_add = mask_ref[...].reshape(1, n_cfg * S).astype(jnp.float32)
         tt = tt_ref[...]                                # (num_steps, D) f32
 
         def body(i, z):
@@ -828,7 +842,13 @@ def ddim_fused_tokens(
                         memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((1, n_cfg, N, D), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((1, S), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        # (B, 1, n_cfg*S) with block (1, 1, n_cfg*S): a bare (1, S) block
+        # over (B, S) fails Mosaic lowering (second-to-last block dim 1 is
+        # neither 8-divisible nor equal to B) — the singleton axis makes the
+        # last two block dims equal the array's; the n_cfg*S lane width is
+        # the pre-flattened per-row attention-key mask (see kernel comment)
+        + [pl.BlockSpec((1, 1, n_cfg * S), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)]
         + [whole(*time_tokens.shape)]
         + [whole(*l.shape) for l in leaves_bf16]
     )
@@ -847,7 +867,7 @@ def ddim_fused_tokens(
         acp_prev.reshape(1, -1).astype(jnp.float32),
         z0,
         cond_p.astype(jnp.float32),
-        mask_add,
+        jnp.tile(mask_add, (1, n_cfg))[:, None, :],
         time_tokens.astype(jnp.float32),
         *leaves_bf16,
     )
