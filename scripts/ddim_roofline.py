@@ -125,8 +125,20 @@ def analytic(batch=64, d=256, ff=1024, ffn2=128, n_cond=2, n_layers=5,
     }
 
 
-def microbench():
-    """TPU-side measurements. Each point: jitted, scalar-synced, best of 5."""
+def _checkpoint(report):
+    """Write the report after every stage: a relay stall or timeout mid-run
+    must not void the stages already measured (round-3 lesson — the first
+    capture attempt lost 50 min of measurements to one buffered timeout)."""
+    with open("scripts/DDIM_ROOFLINE.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def microbench(report, stages):
+    """TPU-side measurements. Each point: jitted, scalar-synced, best of 5.
+
+    Mutates ``report["measured"]`` stage by stage, checkpointing the JSON
+    after each, and prints progress (flushed) so partial captures survive.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -160,7 +172,7 @@ def microbench():
             best = min(best, (time.perf_counter() - t0) / inner)
         return best
 
-    results = {}
+    results = report.setdefault("measured", {})
 
     # 1) batch sweep of both kernels (v1 fori_loop+one-hot, v2 grid-over-
     # steps). v2's win should show as a flat ms drop at every batch
@@ -169,8 +181,13 @@ def microbench():
 
     for name, impl in (("batch_sweep", ddim_fused),
                        ("batch_sweep_grid", ddim_fused_grid)):
-        sweep = {}
+        if name not in stages:
+            continue
+        sweep = results.setdefault(name, {})
         for B in (64, 128, 256, 512):
+            if str(B) in sweep:
+                continue
+            print(f"[{name}] B={B}: compiling...", flush=True)
             cond = jnp.asarray(np.random.RandomState(0).randn(B, 2, 256),
                                jnp.float32)
             z0 = jnp.asarray(np.random.RandomState(1).randn(B, 1, 256),
@@ -182,7 +199,8 @@ def microbench():
             sweep[str(B)] = {"ms": t * 1e3, "us_per_seq": t / B * 1e6,
                              "tflops": fl / t / 1e12,
                              "mfu_pct": 100 * fl / t / MEASURED_PEAK_FLOPS}
-        results[name] = sweep
+            print(f"[{name}] B={B}: {sweep[str(B)]}", flush=True)
+            _checkpoint(report)
 
     # 2) matmul-only proxy: the same matmul sequence as one window
     # (50 steps x 5 layers x the 11 latent-row matmuls) with no VPU chain —
@@ -219,27 +237,37 @@ def microbench():
 
         return jax.lax.fori_loop(0, 50, step, x)
 
-    x = jax.random.normal(key, (B, d), jnp.float32)
-    t = timed(jax.jit(lambda x: mm_chain(x, ws)), x)
     mm_flops = 50 * 5 * (8 * 2 * B * d * d + 2 * 2 * B * d * ff
                          + 2 * 2 * B * d * ffn2)
-    results["matmul_only_chain"] = {
-        "ms": t * 1e3, "tflops": mm_flops / t / 1e12,
-        "mfu_pct": 100 * mm_flops / t / MEASURED_PEAK_FLOPS,
-        "note": "same matmul sequence as the kernel, XLA-compiled, no VPU "
-                "chain: the full-kernel gap to this is elementwise/serial "
-                "cost; this figure's gap to the big-matmul roofline is the "
-                "small-shape MXU penalty",
-    }
+    if "matmul" in stages and "matmul_only_chain" not in results:
+        print("[matmul_only_chain] compiling...", flush=True)
+        x = jax.random.normal(key, (B, d), jnp.float32)
+        t = timed(jax.jit(lambda x: mm_chain(x, ws)), x)
+        results["matmul_only_chain"] = {
+            "ms": t * 1e3, "tflops": mm_flops / t / 1e12,
+            "mfu_pct": 100 * mm_flops / t / MEASURED_PEAK_FLOPS,
+            "note": "same matmul sequence as the kernel, XLA-compiled, no VPU "
+                    "chain: the full-kernel gap to this is elementwise/serial "
+                    "cost; this figure's gap to the big-matmul roofline is "
+                    "the small-shape MXU penalty",
+        }
+        print(f"[matmul_only_chain] {results['matmul_only_chain']}",
+              flush=True)
+        _checkpoint(report)
 
     # 3) the same chain at M=8192 (fill amortized): the narrow-K/N roofline
-    x_big = jax.random.normal(key, (8192, d), jnp.float32)
-    t = timed(jax.jit(lambda x: mm_chain(x, ws)), x_big, inner=3)
-    big_flops = mm_flops / B * 8192
-    results["matmul_chain_M8192"] = {
-        "ms": t * 1e3, "tflops": big_flops / t / 1e12,
-        "mfu_pct": 100 * big_flops / t / MEASURED_PEAK_FLOPS,
-    }
+    if "matmul" in stages and "matmul_chain_M8192" not in results:
+        print("[matmul_chain_M8192] compiling...", flush=True)
+        x_big = jax.random.normal(key, (8192, d), jnp.float32)
+        t = timed(jax.jit(lambda x: mm_chain(x, ws)), x_big, inner=3)
+        big_flops = mm_flops / B * 8192
+        results["matmul_chain_M8192"] = {
+            "ms": t * 1e3, "tflops": big_flops / t / 1e12,
+            "mfu_pct": 100 * big_flops / t / MEASURED_PEAK_FLOPS,
+        }
+        print(f"[matmul_chain_M8192] {results['matmul_chain_M8192']}",
+              flush=True)
+        _checkpoint(report)
 
     # 4) long-conditioning story (VERDICT r3 weak #5): the XLA-scan sampler
     # at n_cond = 2 (flagship, where the fused kernel covers it) vs 77
@@ -249,8 +277,11 @@ def microbench():
     # kernel wins 4.3x) amortizes into the 77-token compute.
     from seeme_tpu.models.denoiser import Denoiser
 
+    if "longcond" not in stages or "longcond_scan" in results:
+        return
     longcond = {}
     for n_cond in (2, 77):
+        print(f"[longcond_scan] n_cond={n_cond}: compiling...", flush=True)
         den = Denoiser(nfeats=75, md_trans=True)
         Bx = 64
         z = jax.random.normal(key, (Bx, 1, 256), jnp.float32)
@@ -273,26 +304,40 @@ def microbench():
         "dispatch-overhead share at n_cond=77 = (scan@2 - onchip@2) / "
         f"scan@77; extra token compute = {over:.2f} ms/window")
     results["longcond_scan"] = longcond
-    return results
+    _checkpoint(report)
+
+
+ALL_STAGES = ("batch_sweep", "batch_sweep_grid", "matmul", "longcond")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-tpu", action="store_true",
                     help="analytic part only (no microbenchmarks)")
+    ap.add_argument("--stages", default=",".join(ALL_STAGES),
+                    help="comma-separated subset of "
+                         f"{ALL_STAGES} to measure")
+    ap.add_argument("--resume", action="store_true",
+                    help="load the existing DDIM_ROOFLINE.json and only "
+                         "measure points it is missing")
     args = ap.parse_args()
 
     report = {"analytic": analytic()}
+    if args.resume and os.path.exists("scripts/DDIM_ROOFLINE.json"):
+        with open("scripts/DDIM_ROOFLINE.json") as f:
+            prev = json.load(f)
+        if "measured" in prev:
+            report["measured"] = prev["measured"]
+    _checkpoint(report)
     if not args.no_tpu:
         import jax
 
         if jax.default_backend() == "cpu":
             print("cpu backend: skipping microbenchmarks")
         else:
-            report["measured"] = microbench()
+            microbench(report, stages=args.stages.split(","))
 
-    with open("scripts/DDIM_ROOFLINE.json", "w") as f:
-        json.dump(report, f, indent=2)
+    _checkpoint(report)
     a = report["analytic"]
     print(json.dumps(a["per_window"], indent=2))
     if "measured" in report:

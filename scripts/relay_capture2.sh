@@ -1,17 +1,12 @@
 #!/bin/bash
-# Round-4 TPU measurement queue — run when the axon relay returns.
-# Captures, IN SEQUENCE (1-core box: never parallel), every measurement
-# this round queued behind the relay outage:
-#   1. probe          — confirm the relay answers (fast fail otherwise)
-#   2. ddim roofline  — loop-vs-grid kernel A/B + matmul-chain microbench
-#   3. token bench    — 77-token scan vs ddim_fused_tokens
-#   4. bench.py       — the north-star capture (writes one JSON line)
-#   5. pointnet probe — batch-64 chunked compile-time confirmation
-# Each stage logs to scripts/relay_capture.log and continues on failure so
-# one flaky stage can't void the rest.
+# Round-4 TPU capture, part 2 — the stages the first runner didn't finish
+# (token_bench landed in scripts/TOKEN_BENCH.json; the roofline timed out
+# before its end-of-run JSON write — now fixed to checkpoint per stage and
+# resume; bench.py died with the session).
+# Run stages IN SEQUENCE (1-core box) and keep going on failure.
 set -u
 cd "$(dirname "$0")/.."
-LOG=scripts/relay_capture.log
+LOG=scripts/relay_capture2.log
 : > "$LOG"
 
 run() {
@@ -29,9 +24,8 @@ print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))
     exit 2
 fi
 
-run 3000 python scripts/ddim_roofline.py
-run 3000 python scripts/token_bench.py
 run 3000 python bench.py
+run 5400 python scripts/ddim_roofline.py --resume
 run 3600 python - <<'EOF'
 # batch-64 chunked PointNet: compile+run wall time (expect ~batch-16 compile,
 # not the 20-40 min (64, 50)-grid compile — BASELINE.md round-4 fix)

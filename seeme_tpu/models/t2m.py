@@ -42,6 +42,14 @@ class T2MConfig:
     # fused Pallas sampling on TPU; disable for bit-faithful scan sampling
     # (guidance amplifies the bf16 weight-storage rounding ~linearly)
     use_fused: bool = True
+    # 77-token clip_hidden/bert modes: the sample-grid kernel
+    # (`ddim_fused_tokens`) measured 0.72x the XLA scan on real TPU
+    # (scripts/TOKEN_BENCH.json, batch 32: 25.7 vs 18.4 ms/window) — the
+    # grid serializes samples while the scan batches them, and at 79-token
+    # self-attention the scan's dispatch overhead is already amortized.
+    # The scan is therefore the default; the kernel stays available for
+    # study / future multi-sample-per-grid-step variants.
+    use_fused_tokens: bool = False
     # VAE_TYPE: 'mld' (latent diffusion) or 'no' (diffusion directly over
     # per-frame features — `config_novae_humanml3d.yaml`, `mld.py:935-946`)
     vae_type: str = "mld"
@@ -205,7 +213,11 @@ class T2MSystem:
             )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
-        if cfg.use_fused and jax.default_backend() != "cpu":
+        pooled_cond = cond.shape[1] <= 8 and cond_mask is None
+        use_fused = cfg.use_fused and jax.default_backend() != "cpu" and (
+            pooled_cond or cfg.use_fused_tokens
+        )
+        if use_fused:
             # whole (CFG) reverse process in one VMEM-resident Pallas kernel
             from ..ops.denoiser_fused import (
                 ddim_fused, ddim_fused_tokens, ddim_schedule_arrays)
@@ -215,7 +227,7 @@ class T2MSystem:
             tsa, acp_t, acp_prev = ddim_schedule_arrays(
                 self.schedule, cfg.num_inference_timesteps
             )
-            if cond.shape[1] <= 8 and cond_mask is None:
+            if pooled_cond:
                 # pooled-token modes: per-layer cond projections hoisted
                 # into VMEM once per window (`ddim_fused`)
                 z = ddim_fused(
@@ -227,9 +239,10 @@ class T2MSystem:
                 )
             else:
                 # 77-token clip_hidden/bert modes (padded + masked): the
-                # sample-grid kernel — hoisting ~100 MB of per-layer cond
-                # invariants is ruinous, so each grid step owns one
-                # sample's full reverse process instead
+                # sample-grid kernel — each grid step owns one sample's
+                # full reverse process (hoisting ~100 MB of per-layer cond
+                # invariants is ruinous). Opt-in only: measured 0.72x the
+                # scan on real TPU (scripts/TOKEN_BENCH.json)
                 z = ddim_fused_tokens(
                     params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
                     cond_mask=cond_mask,
