@@ -9,7 +9,7 @@
 # CPU stages after. Keep going on failure; every stage logs rc + wall time.
 set -u
 cd "$(dirname "$0")/.."
-LOG=scripts/regen_experiments.log
+LOG=scripts/regen_tpu.log
 : > "$LOG"
 
 run() {
@@ -56,41 +56,4 @@ else
     echo "relay down — skipping the TPU block (CPU stages still run)" | tee -a "$LOG"
 fi
 
-# ---- CPU block ----
-# NEW: image-conditioned stage 2 (ResNet50 crop conditioning,
-# `dataset.py:1657-1745` + `mld.py:1084-1154`). Frozen scene+image features
-# cached up front (guidance 1.0), so the CPU step is denoiser-sized.
-run 4500 python train.py --cfg configs/config_mld_egobody_image.yaml --cpu \
-    --batch_size 16 --epochs 600 model.scene_points=1024 TRAIN.SCENE_CACHE=true
-run 2400 python test.py --cfg configs/config_mld_egobody_image.yaml --cpu \
-    --batch_size 16 --replication_times 2 model.scene_points=1024 \
-    --checkpoint experiments/mld/s2_scene_interactee_image/checkpoints/latest
-run 1800 python test.py --cfg configs/config_mld_egobody_image.yaml --cpu \
-    --batch_size 16 --replication_times 1 model.scene_points=1024
-
-# EgoHMR diffusion-GCN branch (BASELINE 'round 4' rows)
-run 2700 python train_egohmr.py --tiny --cpu --epochs 80 --batch_size 8 \
-    --scene_points 256 --out experiments/egohmr/synthetic_convergence
-run 1200 python test_egohmr.py --tiny --cpu --batch_size 8 --scene_points 256 \
-    --checkpoint experiments/egohmr/synthetic_convergence/params
-run 1200 python test_egohmr.py --tiny --cpu --batch_size 8 --scene_points 256
-
-# ProHMR-scene branch
-run 1800 python train_prohmr_scene.py --tiny --cpu --epochs 30 \
-    --out experiments/prohmr/synthetic_convergence
-run 900 python test_prohmr_scene.py --tiny --cpu \
-    --checkpoint experiments/prohmr/synthetic_convergence/params
-run 900 python test_prohmr_scene.py --tiny --cpu
-
-# GIMO two-stage + eval contrast (BASELINE 'round 4' rows)
-run 3600 python train.py --cfg configs/config_vae_gimo.yaml --cpu \
-    --batch_size 16 --epochs 150 model.scene_points=1024
-run 3600 python train.py --cfg configs/config_mld_gimo.yaml --cpu \
-    --batch_size 16 --epochs 600 model.scene_points=1024
-run 2400 python test.py --cfg configs/config_mld_gimo.yaml --cpu \
-    --batch_size 16 --replication_times 2 model.scene_points=1024 \
-    --checkpoint experiments/mld/s2_scene_interactee_gimo/checkpoints/latest
-run 1800 python test.py --cfg configs/config_mld_gimo.yaml --cpu \
-    --batch_size 16 --replication_times 1 model.scene_points=1024
-
-echo "regen done $(date -u)" | tee -a "$LOG"
+echo "tpu regen done $(date -u)" | tee -a "$LOG"
