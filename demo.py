@@ -89,6 +89,7 @@ def _demo_text(args, cfg, datamodule):
     import numpy as np
 
     from seeme_tpu.config.build import build_t2m_system
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.train.checkpoint import resolve_latest, restore_params
 
     system, sys_cfg = build_t2m_system(cfg, datamodule)
@@ -112,8 +113,7 @@ def _demo_text(args, cfg, datamodule):
     if task == "reconstruction" and args.example is None:
         # VAE round-trip of test motions (`demo.py` reconstruction branch)
         recon = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
-        batch_np = next(datamodule.batches("test", args.num_samples,
-                                           shuffle=False))
+        batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
         batch_np.pop("text", None)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         feats_rst = recon(params, batch, rng)
@@ -145,8 +145,7 @@ def _demo_text(args, cfg, datamodule):
     if args.example:
         texts, lens = load_example_input(args.example, default_len)
     else:
-        batch_np = next(datamodule.batches("test", args.num_samples,
-                                           shuffle=False))
+        batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
         texts = list(batch_np.get("text", []))[: args.num_samples]
         lens = [int(x) for x in batch_np["length"][: args.num_samples]]
         if not texts:
@@ -228,6 +227,7 @@ def _demo_ego(args, cfg, datamodule):
     import numpy as np
 
     from seeme_tpu.config.build import build_system
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.train.checkpoint import resolve_latest, restore_params
 
     system, sys_cfg = build_system(cfg, datamodule.mean, datamodule.std)
@@ -244,7 +244,7 @@ def _demo_ego(args, cfg, datamodule):
         print("no checkpoint — sampling from random init")
 
     rng = jax.random.PRNGKey(0)
-    batch_np = next(datamodule.batches("test", args.num_samples, shuffle=False))
+    batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
     out = jax.jit(lambda p, b, r: system.eval_outputs(p, b, r))(
         params, batch, rng)

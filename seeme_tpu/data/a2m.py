@@ -97,9 +97,10 @@ class HumanAct12DataModule:
                              shuffle=shuffle, seed=seed, drop_last=drop_last)
 
     def batches(self, split: str, batch_size: int, shuffle=None,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                seed: int = 0, drop_last: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
         for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
-                                      seed=seed):
+                                      seed=seed, drop_last=drop_last):
             yield {k: v[sel] for k, v in self._data.items()}
 
 
@@ -279,10 +280,11 @@ class UestcDataModule:
                              shuffle=shuffle, seed=seed, drop_last=drop_last)
 
     def batches(self, split: str, batch_size: int, shuffle=None,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                seed: int = 0, drop_last: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
         data = self._splits[split]
         if data is None:
             return
         for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
-                                      seed=seed):
+                                      seed=seed, drop_last=drop_last):
             yield {k: v[sel] for k, v in data.items()}

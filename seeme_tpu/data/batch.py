@@ -42,6 +42,51 @@ def stack_examples(examples) -> Dict:
     return {k: np.stack([e[k] for e in examples]) for k in keys}
 
 
+def _first_len(v):
+    if isinstance(v, np.ndarray) or isinstance(v, list):
+        return len(v)
+    if isinstance(v, dict):
+        for x in v.values():
+            n = _first_len(x)
+            if n is not None:
+                return n
+    return None
+
+
+def _pad_rows(v, pad: int):
+    if isinstance(v, np.ndarray):
+        return np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+    if isinstance(v, list):
+        return v + [v[-1]] * pad
+    if isinstance(v, dict):
+        return {k: _pad_rows(x, pad) for k, x in v.items()}
+    return v
+
+
+def pad_batch(batch: Dict, batch_size: int):
+    """Pad every per-sample field (arrays, lists, nested dicts of them) to
+    `batch_size` rows by repeating the last example; returns
+    (padded_batch, n_valid). Keeps one fixed compiled shape under jit while
+    letting eval cover a trailing partial batch."""
+    n = _first_len(batch)
+    if n is None or n >= batch_size:
+        return batch, n if n is not None else batch_size
+    return _pad_rows(batch, batch_size - n), n
+
+
+def eval_batches(datamodule, split: str, batch_size: int, seed: int = 0):
+    """Yield (batch, n_valid) covering EVERY sample of `split` exactly once.
+
+    Evaluation must not drop the trailing partial batch (the reference's test
+    DataLoaders run with drop_last=False — `mld/data/base.py` test_dataloader;
+    dropping it skews metrics, and when the split is smaller than the batch it
+    silently empties the eval). The partial batch is padded to the compiled
+    `batch_size` (see `pad_batch`); callers slice outputs to `n_valid`."""
+    for batch in datamodule.batches(split, batch_size, shuffle=False,
+                                    seed=seed, drop_last=False):
+        yield pad_batch(batch, batch_size)
+
+
 def epoch_indices(
     n: int, batch_size: int, shuffle: bool = True, seed: int = 0,
     drop_last: bool = True,

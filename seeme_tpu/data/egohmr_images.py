@@ -184,7 +184,8 @@ class EgoHmrImageDataModule:
 
     def batches(self, split: str, batch_size: int, shuffle=None,
                 seed: int = 0, augment: bool = False,
-                aug_config=None) -> Iterator[Dict[str, np.ndarray]]:
+                aug_config=None, drop_last: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
         """`augment=True` applies the EgoHMR training augmentation pipeline
         (scale/rotate/flip/color — `data/augmentation.py`, the reference
         train-split `do_augment=True` path)."""
@@ -200,7 +201,8 @@ class EgoHmrImageDataModule:
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
         aug_rng = np.random.RandomState(seed + 10_007)
-        for i in range(0, (n // batch_size) * batch_size, batch_size):
+        stop = (n // batch_size) * batch_size if drop_last else n
+        for i in range(0, stop, batch_size):
             sel = idx[i : i + batch_size]
             raw = {k: v[sel] for k, v in data.items()}
             if augment:

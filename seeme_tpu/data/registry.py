@@ -58,13 +58,15 @@ class SyntheticDataModule:
         self.name = cfg.get("DATASET_NAME", "egobody")
         self.is_synthetic = True
 
-    def batches(self, split: str, batch_size: int, shuffle=None, seed: int = 0):
+    def batches(self, split: str, batch_size: int, shuffle=None, seed: int = 0,
+                drop_last: bool = True):
         if split == "val" and self.name == "gimo":
             split = "test"  # GIMO aliases val to test (`dataset.py:1840-1842`)
         ds = getattr(self, f"{split}_set")
         if shuffle is None:
             shuffle = split == "train"
-        return ds.batches(batch_size, shuffle=shuffle, seed=seed)
+        return ds.batches(batch_size, shuffle=shuffle, seed=seed,
+                          drop_last=drop_last)
 
     def _split(self, split: str):
         if split == "val" and self.name == "gimo":
@@ -186,10 +188,11 @@ class SyntheticA2MDataModule:
         return epoch_indices(len(self._splits[split]["motion"]), batch_size,
                              shuffle=shuffle, seed=seed, drop_last=drop_last)
 
-    def batches(self, split, batch_size, shuffle=None, seed=0):
+    def batches(self, split, batch_size, shuffle=None, seed=0,
+                drop_last=True):
         data = self._splits[split]
         for sel in self.batch_indices(split, batch_size, shuffle=shuffle,
-                                      seed=seed):
+                                      seed=seed, drop_last=drop_last):
             yield {k: v[sel] for k, v in data.items()}
 
 

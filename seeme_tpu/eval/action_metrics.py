@@ -42,6 +42,11 @@ class ActionMetrics:
         self.labels.append(np.asarray(labels))
 
     def compute(self) -> Dict[str, float]:
+        if not self.gen_feats:
+            raise RuntimeError(
+                "ActionMetrics.compute() with no accumulated batches — the "
+                "eval loop yielded nothing (test split smaller than the "
+                "batch size?)")
         gen = np.concatenate(self.gen_feats)
         gt = np.concatenate(self.gt_feats)
         logits = np.concatenate(self.gen_logits)
@@ -93,6 +98,11 @@ class UncondMetrics:
         self.gt_feats.append(np.asarray(gt_features))
 
     def compute(self) -> Dict[str, float]:
+        if not self.gen_feats:
+            raise RuntimeError(
+                "UncondMetrics.compute() with no accumulated batches — the "
+                "eval loop yielded nothing (test split smaller than the "
+                "batch size?)")
         gen = np.concatenate(self.gen_feats)
         gt = np.concatenate(self.gt_feats)
         rng = np.random.RandomState(self.seed)

@@ -110,7 +110,12 @@ def normalize_resume_dir(resume: str) -> str:
     manager may purge stale step dirs; a mis-resolved path used to delete
     the resume source's checkpoints — ADVICE r3)."""
     r = os.path.abspath(os.path.expanduser(resume))
-    if os.path.basename(r).isdigit() or os.path.basename(r) == "latest":
+    # Only strip a step / 'latest' component when it actually sits under a
+    # `checkpoints/` dir — an experiment dir whose own name happens to be
+    # numeric (e.g. a sweep index) must not be normalized to its parent.
+    if (os.path.basename(r).isdigit() or os.path.basename(r) == "latest") and (
+        os.path.basename(os.path.dirname(r)) == "checkpoints"
+    ):
         r = os.path.dirname(r)
     if os.path.basename(r) == "checkpoints":
         r = os.path.dirname(r)

@@ -46,6 +46,7 @@ def main():
     from seeme_tpu.config.build import build_system
     from seeme_tpu.core.masks import lengths_to_mask
     from seeme_tpu.data import get_datamodule
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.eval import EgoMetric, get_metric_statistics
     from seeme_tpu.train.checkpoint import restore_params
     from seeme_tpu.utils.logger import create_experiment_dir, create_logger
@@ -158,8 +159,8 @@ def main():
     for rep in range(reps):
         metric = EgoMetric(split=str(cfg.select("TEST.SPLIT", "test")))
         rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
-        for batch_idx, batch_np in enumerate(
-            datamodule.batches("test", batch_size, shuffle=False)
+        for batch_idx, (batch_np, n_valid) in enumerate(
+            eval_batches(datamodule, "test", batch_size)
         ):
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             rng, step_rng = jax.random.split(rng)
@@ -175,9 +176,11 @@ def main():
             if count_time:
                 times.append(time.perf_counter() - t0)
             mask = lengths_to_mask(batch["length"], sys_cfg.motion_length)
+            # padded tail rows (trailing partial batch) must not count
             metric.update(
-                out["joints_rst"], out["joints_ref"],
-                out["quat_rst"], out["quat_ref"], mask,
+                out["joints_rst"][:n_valid], out["joints_ref"][:n_valid],
+                out["quat_rst"][:n_valid], out["quat_ref"][:n_valid],
+                mask[:n_valid],
             )
             if save_preds and rep == 0:
                 # the save_npy contract (`modeltype/base.py:215-256`): one npy
@@ -186,7 +189,7 @@ def main():
                 os.makedirs(pred_dir, exist_ok=True)
                 j_rst = np.asarray(out["joints_rst"])
                 j_ref = np.asarray(out["joints_ref"])
-                for b in range(len(j_rst)):
+                for b in range(n_valid):
                     i = batch_idx * batch_size + b
                     L = int(batch_np["length"][b])
                     np.save(os.path.join(pred_dir, f"pred_{i}.npy"), j_rst[b, :L])
@@ -228,6 +231,7 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
     import jax
     import numpy as np
 
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.eval import MRMetrics, TM2TMetrics, get_metric_statistics
     from seeme_tpu.eval.t2m_evaluator import T2MEvaluator
 
@@ -261,7 +265,7 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         mr = MRMetrics()
         tm2t = TM2TMetrics()
         rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
-        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+        for batch_np, n_valid in eval_batches(datamodule, "test", batch_size):
             texts = batch_np.pop("text", None)
             if "text_emb" not in batch_np and texts is not None:
                 batch_np["text_emb"] = system.text_encoder(texts)
@@ -284,14 +288,16 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
             joints_rst = np.asarray(datamodule.feats2joints(feats_rst))
             joints_ref = np.asarray(datamodule.feats2joints(batch["motion"]))
             lengths = np.asarray(batch["length"])
-            mr.update(joints_rst, joints_ref, lengths)
+            # padded tail rows (trailing partial batch) must not count
+            mr.update(joints_rst[:n_valid], joints_ref[:n_valid],
+                      lengths[:n_valid])
             if texts is not None and renorm4t2m is not None:
                 rec = renorm4t2m(np.asarray(feats_rst))
                 gt = renorm4t2m(np.asarray(batch["motion"]))
                 tm2t.update(
-                    evaluator.embed_text(texts),
-                    evaluator.embed_motion(rec, lengths),
-                    evaluator.embed_motion(gt, lengths),
+                    evaluator.embed_text(texts)[:n_valid],
+                    evaluator.embed_motion(rec, lengths)[:n_valid],
+                    evaluator.embed_motion(gt, lengths)[:n_valid],
                 )
         results = mr.compute()
         if tm2t.text_embeddings:
@@ -310,7 +316,8 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
         mm_repeats = int(cfg.select("TEST.MM_NUM_REPEATS", 8))
         mm = MMMetrics(mm_num_times=int(cfg.select("TEST.MM_NUM_TIMES", 10)))
         rng = jax.random.PRNGKey(7)
-        batch_np = next(datamodule.batches("test", min(mm_samples, batch_size), shuffle=False))
+        batch_np, mm_valid = next(
+            eval_batches(datamodule, "test", min(mm_samples, batch_size)))
         texts = batch_np.pop("text", None)
         if "text_emb" not in batch_np and texts is not None:
             batch_np["text_emb"] = system.text_encoder(texts)
@@ -328,7 +335,7 @@ def _t2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
                 feats = sample_fn_masked(params, text_emb, text_mask, sr)
             else:
                 feats = sample_fn(params, text_emb, sr)
-            reps.append(np.asarray(feats).reshape(len(text_emb), -1))
+            reps.append(np.asarray(feats).reshape(len(text_emb), -1)[:mm_valid])
         mm.update(np.stack(reps, axis=1))
         mm_val = mm.compute()
         all_metrics = [dict(m, **mm_val) for m in all_metrics]
@@ -373,6 +380,7 @@ def _a2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
     import numpy as np
 
     from seeme_tpu.config.build import load_smpl_or_synthetic
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.eval import ActionMetrics, MotionDiscriminator, get_metric_statistics
     from seeme_tpu.train.checkpoint import restore_params
 
@@ -417,14 +425,17 @@ def _a2m_eval(cfg, system, sys_cfg, params, datamodule, logger, exp_dir,
     for rep in range(reps):
         metric = ActionMetrics(num_classes=sys_cfg.num_classes)
         rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)) + rep)
-        for batch_np in datamodule.batches("test", batch_size, shuffle=False):
+        for batch_np, n_valid in eval_batches(datamodule, "test", batch_size):
             labels = jnp.asarray(batch_np["action"])
             lengths = jnp.asarray(batch_np["length"])
             rng, sr = jax.random.split(rng)
             feats_gen = sample_fn(params, labels, sr)
             logits_gen, feats_g = classify(fk(feats_gen), lengths)
             _, feats_r = classify(fk(jnp.asarray(batch_np["motion"])), lengths)
-            metric.update(feats_g, feats_r, logits_gen, batch_np["action"])
+            # padded tail rows (trailing partial batch) must not count
+            metric.update(feats_g[:n_valid], feats_r[:n_valid],
+                          logits_gen[:n_valid],
+                          batch_np["action"][:n_valid])
         results = metric.compute()
         all_metrics.append(results)
         logger.info("replication %d: %s", rep,

@@ -29,6 +29,7 @@ def main():
     import numpy as np
 
     from seeme_tpu.core.smpl import smpl_forward, synthetic_smpl
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.data.egohmr_images import EgoHmrImageDataModule
     from seeme_tpu.eval.t2m_metrics import procrustes_align
     from seeme_tpu.models.egohmr import EgoHmr, EgoHmrConfig
@@ -64,10 +65,12 @@ def main():
 
     sums = {k: [] for k in ("MPJPE", "PA-MPJPE", "V2V", "MPJPE-vis", "MPJPE-invis")}
     rng = jax.random.PRNGKey(1)
-    for batch_np in dm.batches("test", args.batch_size, shuffle=False):
+    for batch_np, n_valid in eval_batches(dm, "test", args.batch_size):
         batch = {k: jax.tree.map(jnp.asarray, v) for k, v in batch_np.items()}
         rng, step_rng = jax.random.split(rng)
-        pj, pv, gj, gv, vis = map(np.asarray, eval_step(params, batch, step_rng))
+        pj, pv, gj, gv, vis = (
+            np.asarray(a)[:n_valid]
+            for a in eval_step(params, batch, step_rng))
         pa = pj - pj[:, :1]
         ga = gj - gj[:, :1]
         err = np.linalg.norm(pa - ga, axis=-1) * 1000  # (B, 24) mm

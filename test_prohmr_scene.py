@@ -30,6 +30,7 @@ def main():
     import numpy as np
 
     from seeme_tpu.core.smpl import smpl_forward, synthetic_smpl
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.data.egohmr_images import EgoHmrImageDataModule
     from seeme_tpu.eval.t2m_metrics import procrustes_align
     from seeme_tpu.models.prohmr import ProHMRConfig, ProHMRScene
@@ -63,12 +64,12 @@ def main():
 
     mpjpe_all, pampjpe_all, v2v_all = [], [], []
     rng = jax.random.PRNGKey(1)
-    for batch_np in dm.batches("test", args.batch_size, shuffle=False):
+    for batch_np, n_valid in eval_batches(dm, "test", args.batch_size):
         batch = {k: jax.tree.map(jnp.asarray, v) for k, v in batch_np.items()}
         rng, step_rng = jax.random.split(rng)
         pred_j, pred_v, gt_j, gt_v = eval_step(params, batch, step_rng)
-        pred_j, pred_v = np.asarray(pred_j), np.asarray(pred_v)
-        gt_j, gt_v = np.asarray(gt_j), np.asarray(gt_v)
+        pred_j, pred_v = np.asarray(pred_j)[:n_valid], np.asarray(pred_v)[:n_valid]
+        gt_j, gt_v = np.asarray(gt_j)[:n_valid], np.asarray(gt_v)[:n_valid]
         # pelvis-aligned MPJPE (mm)
         pa = pred_j - pred_j[:, :1]
         ga = gt_j - gt_j[:, :1]

@@ -153,3 +153,8 @@ def test_normalize_resume_dir(tmp_path):
     (numeric_exp / "checkpoints").mkdir(parents=True)
     assert normalize_resume_dir(
         str(numeric_exp / "checkpoints")) == str(numeric_exp.resolve())
+    # an experiment dir whose own name is numeric (e.g. a sweep index) is
+    # NOT a step dir: only strip numeric/'latest' under a checkpoints/ parent
+    assert normalize_resume_dir(str(numeric_exp)) == str(numeric_exp.resolve())
+    assert normalize_resume_dir(
+        str(numeric_exp / "checkpoints" / "latest")) == str(numeric_exp.resolve())

@@ -192,6 +192,7 @@ def main():
     from seeme_tpu.config import load_config
     from seeme_tpu.config.build import build_a2m_system, load_smpl_or_synthetic
     from seeme_tpu.data import get_datamodule
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.eval import MotionDiscriminator
     from seeme_tpu.train.checkpoint import save_params
 
@@ -260,15 +261,16 @@ def main():
     @jax.jit
     def accuracy_batch(p, motion, lengths, labels):
         logits, _ = clf.apply(p, to_input(motion), lengths)
-        return jnp.sum(jnp.argmax(logits, -1) == labels)
+        return jnp.argmax(logits, -1) == labels
 
     def split_accuracy(split):
         hit = tot = 0
-        for b in datamodule.batches(split, args.batch_size, shuffle=False):
-            hit += int(accuracy_batch(
+        for b, nv in eval_batches(datamodule, split, args.batch_size):
+            match = np.asarray(accuracy_batch(
                 params, jnp.asarray(b["motion"]), jnp.asarray(b["length"]),
                 jnp.asarray(b["action"])))
-            tot += len(b["action"])
+            hit += int(match[:nv].sum())
+            tot += nv
         return hit / max(tot, 1)
 
     val_split = "val" if name == "humanact12" else "test"

@@ -45,6 +45,7 @@ def main():
     from seeme_tpu.config import load_config, save_config
     from seeme_tpu.config.build import build_system
     from seeme_tpu.data import get_datamodule
+    from seeme_tpu.data.batch import eval_batches
     from seeme_tpu.parallel import make_mesh
     from seeme_tpu.train import (
         create_train_state,
@@ -339,7 +340,11 @@ def main():
     def validate(state):
         acc, n = {}, 0
         rng = jax.random.PRNGKey(0)
-        for b in datamodule.batches("val", batch_size, shuffle=False):
+        # eval_batches pads a trailing partial val batch (duplicated tail
+        # rows bias the scalar mean slightly — acceptable for a monitoring
+        # signal, and it keeps validation working when the val split is
+        # smaller than the batch)
+        for b, _ in eval_batches(datamodule, "val", batch_size):
             if is_t2m:
                 texts = b.pop("text", None)
                 if "text_emb" not in b and texts is not None:
