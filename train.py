@@ -130,6 +130,15 @@ def main():
     n_train = getattr(datamodule, "num_train", None) or (
         len(datamodule.train_set) if hasattr(datamodule, "train_set") else batch_size
     )
+    if 0 < n_train < batch_size:
+        # drop_last batching would yield ZERO steps per epoch — training
+        # would silently no-op (e.g. DEBUG-truncated splits with the
+        # config's full batch size). Clamp so every epoch trains.
+        logger.warning(
+            "TRAIN.BATCH_SIZE %d exceeds the train split (%d samples) — "
+            "clamping batch size to %d so each epoch has at least one step",
+            batch_size, n_train, n_train)
+        batch_size = n_train
     steps_per_epoch = max(n_train // batch_size, 1)
 
     optimizer = make_optimizer(
