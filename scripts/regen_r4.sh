@@ -32,8 +32,12 @@ print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))
 # stage 2 below would otherwise freeze a RANDOM VAE (train.py only warns).
 # CPU substitute for the TPU batch-64 protocol run; the TPU half retrains it
 # at the full protocol when the relay answers.
+# ~25 s/epoch on this 1-core host; 100 epochs fits the timeout with margin,
+# and checkpoints must land BEFORE the timeout can fire (the default
+# SACE_CHECKPOINT_EPOCH=200 would only save at the end).
 run 3600 python train.py --cfg configs/config_vae_egobody.yaml --cpu \
-    --batch_size 16 --epochs 200 model.scene_points=1024
+    --batch_size 16 --epochs 100 model.scene_points=1024 \
+    LOGGER.SACE_CHECKPOINT_EPOCH=50
 
 # image-conditioned stage 2 (ResNet50 crop conditioning) + eval contrast
 run 4500 python train.py --cfg configs/config_mld_egobody_image.yaml --cpu \
@@ -60,7 +64,8 @@ run 900 python test_prohmr_scene.py --tiny --cpu
 
 # GIMO two-stage + eval contrast (stage 2 with the frozen-scene cache)
 run 3600 python train.py --cfg configs/config_vae_gimo.yaml --cpu \
-    --batch_size 16 --epochs 150 model.scene_points=1024
+    --batch_size 16 --epochs 150 model.scene_points=1024 \
+    LOGGER.SACE_CHECKPOINT_EPOCH=75
 run 4500 python train.py --cfg configs/config_mld_gimo.yaml --cpu \
     --batch_size 16 --epochs 600 model.scene_points=1024 TRAIN.SCENE_CACHE=true
 run 2400 python test.py --cfg configs/config_mld_gimo.yaml --cpu \
