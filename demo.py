@@ -113,13 +113,15 @@ def _demo_text(args, cfg, datamodule):
     if task == "reconstruction" and args.example is None:
         # VAE round-trip of test motions (`demo.py` reconstruction branch)
         recon = jax.jit(lambda p, b, r: system.reconstruct(p, b, r))
-        batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
+        batch_np, n_valid = next(eval_batches(datamodule, "test", args.num_samples))
         batch_np.pop("text", None)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         feats_rst = recon(params, batch, rng)
         joints = np.asarray(datamodule.feats2joints(feats_rst))
         joints_gt = np.asarray(datamodule.feats2joints(batch["motion"]))
-        for i in range(args.num_samples):
+        # eval_batches pads a short split by repeating the tail row — only
+        # the first n_valid outputs are distinct samples
+        for i in range(min(args.num_samples, n_valid)):
             L = int(batch_np["length"][i])
             for name, arr in (("rec", joints[i, :L]), ("gt", joints_gt[i, :L])):
                 p = os.path.join(args.out, f"{name}_{i}.npy")
@@ -145,9 +147,10 @@ def _demo_text(args, cfg, datamodule):
     if args.example:
         texts, lens = load_example_input(args.example, default_len)
     else:
-        batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
-        texts = list(batch_np.get("text", []))[: args.num_samples]
-        lens = [int(x) for x in batch_np["length"][: args.num_samples]]
+        batch_np, n_valid = next(eval_batches(datamodule, "test", args.num_samples))
+        n_take = min(args.num_samples, n_valid)  # pad rows are tail duplicates
+        texts = list(batch_np.get("text", []))[:n_take]
+        lens = [int(x) for x in batch_np["length"][:n_take]]
         if not texts:
             raise SystemExit(
                 "dataset provides no captions; pass --example captions.txt")
@@ -244,7 +247,10 @@ def _demo_ego(args, cfg, datamodule):
         print("no checkpoint — sampling from random init")
 
     rng = jax.random.PRNGKey(0)
-    batch_np = next(eval_batches(datamodule, "test", args.num_samples))[0]
+    batch_np, n_valid = next(eval_batches(datamodule, "test", args.num_samples))
+    # eval_batches pads a short split by repeating the tail row — only the
+    # first n_valid rows are distinct samples
+    n_take = min(args.num_samples, n_valid)
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
     out = jax.jit(lambda p, b, r: system.eval_outputs(p, b, r))(
         params, batch, rng)
@@ -252,12 +258,12 @@ def _demo_ego(args, cfg, datamodule):
     joints = np.asarray(out["joints_rst"])
     joints_gt = np.asarray(out["joints_ref"])
     saved = []
-    for i in range(args.num_samples):
+    for i in range(n_take):
         p = os.path.join(args.out, f"sample_{i}.npy")
         np.save(p, joints[i])
         np.save(os.path.join(args.out, f"gt_{i}.npy"), joints_gt[i])
         saved.append(p)
-    print(f"saved {args.num_samples} samples to {args.out}/")
+    print(f"saved {n_take} samples to {args.out}/")
 
     if args.mesh:
         # full-LBS vertices for the mesh-render pipeline (the reference gets
@@ -271,15 +277,15 @@ def _demo_ego(args, cfg, datamodule):
         transl = None if sys_cfg.predict_transl else batch["transl"][:, actor]
         verts = np.asarray(jax.jit(system.feats_to_vertices)(
             raw_rst, betas, transl))
-        for i in range(args.num_samples):
+        for i in range(n_take):
             np.save(os.path.join(args.out, f"sample_{i}_mesh.npy"), verts[i])
         np.save(os.path.join(args.out, "faces.npy"), system.smpl.faces)
-        print(f"saved {args.num_samples} mesh npys (+faces.npy)")
+        print(f"saved {n_take} mesh npys (+faces.npy)")
 
     if args.render:
         from seeme_tpu.render.joints import render_joints_video
 
-        for i in range(args.num_samples):
+        for i in range(n_take):
             path = render_joints_video(
                 joints[i], os.path.join(args.out, f"sample_{i}.gif"),
                 gt_joints=joints_gt[i], title=f"sample {i}",

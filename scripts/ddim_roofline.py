@@ -99,8 +99,10 @@ def analytic(batch=64, d=256, ff=1024, ffn2=128, n_cond=2, n_layers=5,
             "matmul_flops": step_flops,
             "mxu_cycles_ceil_tiled": step_cycles,
             "mxu_time_us": mxu_time * 1e6,
+            # fraction of the array's peak over the modeled cycles:
+            # peak = 2 * 128 * 128 flops/cycle (one 128x128 MAC wave)
             "mxu_efficiency_at_shapes": step_flops / (
-                step_cycles / MXU_M * 2 * MXU_M * MXU_KN * MXU_KN / MXU_KN),
+                step_cycles * 2 * MXU_KN * MXU_KN),
             "vpu_element_ops": vpu_els,
             "vpu_time_us": vpu_time * 1e6,
             "onehot_select_time_us": sel_time * 1e6,
