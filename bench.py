@@ -54,6 +54,7 @@ def _probe_backend(
     deadline = time.monotonic() + budget_s
     attempt = 0
     last_error = ""
+    prev_exit_error = None
     while True:
         attempt += 1
         t0 = time.monotonic()
@@ -74,6 +75,17 @@ def _probe_backend(
                 f"bench.py: backend probe attempt {attempt} failed "
                 f"(rc={r.returncode}):\n{last_error}", file=sys.stderr,
             )
+            # only a blocked device discovery (TimeoutExpired below) is the
+            # documented transient relay failure; a probe that EXITS nonzero
+            # with the same stderr twice is deterministic (broken env,
+            # ImportError) — burning the 45-min budget on it helps nobody
+            if last_error == prev_exit_error:
+                print(
+                    "bench.py: identical non-timeout probe failure twice — "
+                    "deterministic error, failing fast.", file=sys.stderr,
+                )
+                deadline = time.monotonic()  # falls through to the error JSON
+            prev_exit_error = last_error
         except subprocess.TimeoutExpired:
             last_error = (
                 f"device discovery still blocked after {attempt_timeout_s:.0f}s"

@@ -603,6 +603,28 @@ def _grid_kernel_factory(treedef, inv_treedef, step_treedef, num_steps,
     return kernel
 
 
+def _window_precompute(dp, cond, latent_dim, timesteps):
+    """XLA-side f32 per-window precompute shared by the grid and token
+    kernels: the emb_proj condition projection (sinusoid dim follows the
+    projection's input width, `mld_denoiser.py:97-104`) and the time-token
+    MLP evaluated for ALL steps up front. Kept in one place so the two
+    fused variants cannot drift numerically."""
+    cond_p = cond
+    if "emb_proj_dense" in dp:
+        cond_p = _dense(dp["emb_proj_dense"], jax.nn.relu(cond))
+        freq_dim = dp["emb_proj_dense"]["kernel"].shape[0]
+    else:
+        freq_dim = latent_dim
+    t_emb_all = _timestep_embedding(
+        timesteps.astype(jnp.float32), None,
+        freqs=jnp.asarray(timestep_freqs(freq_dim)),
+    )
+    te = dp["time_embedding"]
+    time_tokens = _dense(
+        te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all)))
+    return cond_p, time_tokens
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "num_layers", "guidance_scale", "interpret"),
@@ -644,18 +666,7 @@ def ddim_fused_grid(
     dp = denoiser_params["params"]
 
     # ---- XLA-side per-window precompute (f32)
-    cond_p = cond
-    if "emb_proj_dense" in dp:
-        cond_p = _dense(dp["emb_proj_dense"], jax.nn.relu(cond))
-        freq_dim = dp["emb_proj_dense"]["kernel"].shape[0]
-    else:
-        freq_dim = z0.shape[-1]
-    t_emb_all = _timestep_embedding(
-        timesteps.astype(jnp.float32), None,
-        freqs=jnp.asarray(timestep_freqs(freq_dim)),
-    )
-    te = dp["time_embedding"]
-    time_tokens = _dense(te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all)))
+    cond_p, time_tokens = _window_precompute(dp, cond, z0.shape[-1], timesteps)
     full_inv = md_step_invariants(dp["encoder"], cond_p, num_layers,
                                   time_tokens=time_tokens)
     inv_static = {n: {k: d[k] for k in ("k_xf", "v_xf", "ca_key", "ca_value")}
@@ -799,24 +810,11 @@ def ddim_fused_tokens(
     assert cond.shape[0] == n_cfg * B, (cond.shape, B, guidance_scale)
 
     # ---- XLA-side per-window precompute (f32, batched: better MXU shapes)
-    cond_p = cond
-    if "emb_proj_dense" in dp:
-        cond_p = _dense(dp["emb_proj_dense"], jax.nn.relu(cond))
-        freq_dim = dp["emb_proj_dense"]["kernel"].shape[0]
-    else:
-        freq_dim = z0.shape[-1]
+    cond_p, time_tokens = _window_precompute(dp, cond, z0.shape[-1], timesteps)
     # (B, n_cfg, N, D): sample-major so the grid can block per sample; CFG
     # order inside each sample stays [uncond; cond] (`t2m.py::sample`)
     cond_p = jnp.stack([cond_p[h * B:(h + 1) * B] for h in range(n_cfg)],
                        axis=1)
-
-    t_emb_all = _timestep_embedding(
-        timesteps.astype(jnp.float32), None,
-        freqs=jnp.asarray(timestep_freqs(freq_dim)),
-    )
-    te = dp["time_embedding"]
-    time_tokens = _dense(
-        te["linear_2"], jax.nn.silu(_dense(te["linear_1"], t_emb_all)))
 
     n_tok, D = z0.shape[1], z0.shape[2]
     N = cond.shape[1]

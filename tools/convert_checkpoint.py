@@ -586,9 +586,15 @@ def _t2m_sub(sd: Dict, key: str) -> Dict:
     """The released `text_mot_match/model/finest.tar` bundles the three t2m
     evaluators as nested state dicts keyed 'text_encoder' /
     'movement_encoder' / 'motion_encoder'; standalone .tar saves are bare
-    state dicts. Accept both, so one --src file serves all three kinds."""
+    state dicts, and some re-saves flatten to prefixed keys. Accept all
+    three, so one --src file serves all three kinds (preflight.py shares
+    this resolution)."""
     if key in sd and isinstance(sd[key], dict):
         return sd[key]
+    prefix = key + "."
+    if any(k.startswith(prefix) for k in sd):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
     return sd
 
 

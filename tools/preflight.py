@@ -195,11 +195,10 @@ def parity_mld(sd: Dict) -> tuple:
     den_sd = {k[len("denoiser."):]: v for k, v in sd.items()
               if k.startswith("denoiser.")}
     if den_sd:
-        md_trans = any(".sa_block." in k for k in den_sd)
-        block_ids = {int(k.split("encoder.input_blocks.")[1].split(".")[0])
-                     for k in den_sd
-                     if k.startswith("encoder.input_blocks.")}
-        num_layers = 2 * (max(block_ids) + 1) + 1
+        from convert_checkpoint import infer_md_trans, infer_skip_layers
+
+        md_trans = infer_md_trans(den_sd)
+        num_layers = infer_skip_layers(den_sd)
         dd = den_sd["time_embedding.linear_2.weight"].shape[0]
         ff_key = ("encoder.input_blocks.0.ffn.linear1.weight" if md_trans
                   else "encoder.input_blocks.0.linear1.weight")
@@ -278,18 +277,11 @@ def parity_prohmr(sd: Dict) -> tuple:
         pn_params, jnp.asarray(pts.numpy()))
     errs.append(_max_err(pn_j, pn_t.numpy()))
 
-    # flow: infer layer count / depth / ctx dim from the state dict
-    layer_ids = {int(k.split("._transforms.")[1].split(".")[0])
-                 for k in sd if "flow.flow._transform._transforms." in k}
-    n_layers = (max(layer_ids) + 1) // 3 if layer_ids else 4
-    D = sd["flow.flow._transform._transforms.0.log_scale"].shape[-1]
-    ctx_key = [k for k in sd if k.endswith("initial_layer.weight")
-               and "flow.flow" in k][0]
-    ctx_dim = sd[ctx_key].shape[1] - D // 2
-    hidden = sd[ctx_key].shape[0]
-    depth_ids = {int(k.split(".blocks.")[1].split(".")[0])
-                 for k in sd if "flow.flow" in k and ".blocks." in k}
-    depth = max(depth_ids) + 1
+    # flow: infer layer count / depth / ctx dim from the state dict (the
+    # same inference the converter uses — one implementation, no drift)
+    from convert_checkpoint import infer_glow_shape
+
+    n_layers, depth, D, hidden, ctx_dim = infer_glow_shape(sd, prefix="flow.flow")
     g = ref_glow.ConditionalGlow(features=D, hidden_features=hidden,
                                  num_layers=n_layers,
                                  num_blocks_per_layer=depth,
@@ -332,10 +324,9 @@ def parity_egohmr(sd: Dict) -> tuple:
 
     torch.manual_seed(0)
     errs = []
-    gcn_layer_ids = {int(k.split("gconv_layers.")[1].split(".")[0])
-                     for k in sd
-                     if k.startswith("diffusion_model.gconv_layers.")}
-    L = max(gcn_layer_ids) + 1 if gcn_layer_ids else 4
+    from convert_checkpoint import infer_gcn_layers
+
+    L = infer_gcn_layers(sd) or 4
     params = convert_egohmr(sd, num_gcn_layers=L)
 
     tnet = ref_resnet.ResNet(ref_resnet.Bottleneck, [3, 4, 6, 3]).eval()
@@ -614,17 +605,11 @@ def _ckpt_specs(ctx: Ctx) -> List[CkptSpec]:
 
 
 def _sub_sd(sd: Dict, prefix: str) -> Dict:
-    """The released text_mot_match finest.tar bundles the three encoders as
-    NESTED state dicts ({'text_encoder': {...}, 'movement_encoder': {...},
-    'motion_encoder': {...}}); standalone .tar files are bare state dicts.
-    Accept both, plus flat prefixed keys."""
-    key = prefix.rstrip(".")
-    if key in sd and isinstance(sd[key], dict):
-        return sd[key]
-    if any(k.startswith(prefix) for k in sd):
-        return {k[len(prefix):]: v for k, v in sd.items()
-                if k.startswith(prefix)}
-    return sd  # already a bare encoder state dict
+    """Resolve a nested / prefixed / bare evaluator state dict — delegates
+    to the converter's `_t2m_sub` so both tools accept the same layouts."""
+    from convert_checkpoint import _t2m_sub
+
+    return _t2m_sub(sd, prefix.rstrip("."))
 
 
 # --------------------------------------------------------------------------

@@ -191,11 +191,15 @@ def main():
     # come from the same scene_encoder weights the run trains with. The
     # CFG-training path masks raw points, so the cache only applies at
     # guidance_scale <= 1 (the shipped ego config). Default on-TPU only:
-    # the one-core CPU host takes minutes to fill it (override with
-    # TRAIN.SCENE_CACHE=true/false).
-    cache_scene = cfg.select("TRAIN.SCENE_CACHE", None)
-    if cache_scene is None:
-        cache_scene = jax.default_backend() != "cpu"
+    # the one-core CPU host takes minutes to fill it. The cache covers EVERY
+    # frozen encoder (scene PointNet and image ResNet50): control it with
+    # the generic TRAIN.FEATURE_CACHE; TRAIN.SCENE_CACHE remains a legacy
+    # alias from when the scene encoder was the only cached one.
+    cache_feats = cfg.select("TRAIN.FEATURE_CACHE", None)
+    if cache_feats is None:
+        cache_feats = cfg.select("TRAIN.SCENE_CACHE", None)
+    if cache_feats is None:
+        cache_feats = jax.default_backend() != "cpu"
     frozen_encoders = []
     if getattr(system, "use_scene", False):
         frozen_encoders.append(("scene", "scene_feats", system.scene_features))
@@ -203,7 +207,7 @@ def main():
         # the ResNet50 image backbone is frozen like the PointNet
         # (`mld.py:235-246`); its per-sample features cache the same way
         frozen_encoders.append(("image", "image_feats", system.image_features))
-    if (cache_scene and stage != "vae" and frozen_encoders
+    if (cache_feats and stage != "vae" and frozen_encoders
             and float(getattr(sys_cfg, "guidance_scale", 1.0)) <= 1.0
             and hasattr(datamodule, "attach_split_features")):
         import numpy as np
