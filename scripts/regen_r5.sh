@@ -1,0 +1,168 @@
+#!/bin/bash
+# Round-4 (continued): regenerate the wiped gitignored experiments/ tree.
+# The workspace reset again erased every convergence checkpoint BASELINE.md
+# cites; this script rebuilds all of them, TPU half FIRST (relay is up now
+# and each TPU stage is 5-20x faster than its CPU substitute), then the CPU
+# half (ResNet50-bearing branches whose conv graphs take 10-30 min to
+# remote-compile through the relay stay on CPU).
+#
+# Idempotent: each stage records a marker in scripts/regen_state/ and is
+# skipped on re-run, so a relay drop or session restart resumes where it
+# left off. ONE job at a time (1-core box).
+set -u
+cd "$(dirname "$0")/.."
+LOG=scripts/regen_r5.log
+STATE=scripts/regen_state
+mkdir -p "$STATE"
+touch "$LOG"
+
+log() { echo "[regen_r5] $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
+
+run() {
+    echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"
+    timeout "$1" "${@:2}" >> "$LOG" 2>&1
+    local rc=$?
+    echo "--- rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG"
+    return $rc
+}
+
+# stage NAME CMD... : run once; marker on success (rc==0 for every cmd is
+# checked by the caller passing a single command; multi-command stages use
+# stage_block below).
+stage() {
+    local name=$1; shift
+    if [ -e "$STATE/$name" ]; then log "skip $name (done)"; return 0; fi
+    if "$@"; then touch "$STATE/$name"; log "done $name"; return 0
+    else log "FAILED $name"; return 1; fi
+}
+
+probe_tpu() {
+    timeout 240 python -c "
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))
+" >> "$LOG" 2>&1
+}
+
+# Wait for the relay: up to ~30 min of 2-min retries. Returns 1 if down.
+wait_tpu() {
+    for i in $(seq 1 10); do
+        log "TPU probe attempt $i"
+        if probe_tpu; then return 0; fi
+        sleep 120
+    done
+    return 1
+}
+
+# ---------------- TPU half ----------------
+
+ego_chain() {
+    run 2400 python train.py --cfg configs/config_vae_egobody.yaml --batch_size 64 --epochs 400 &&
+    run 2400 python train.py --cfg configs/config_mld_egobody.yaml --batch_size 64 --epochs 1200 &&
+    run 2400 python test.py --cfg configs/config_mld_egobody.yaml --batch_size 16 --replication_times 2 \
+        --checkpoint experiments/mld/s2_scene_interactee/checkpoints/latest &&
+    run 1800 python test.py --cfg configs/config_mld_egobody.yaml --batch_size 16 --replication_times 1
+}
+
+a2m_chain() {
+    run 1800 python train.py --cfg configs/config_vae_humanact12.yaml --batch_size 64 --epochs 400 &&
+    run 3000 python train.py --cfg configs/config_mld_humanact12.yaml --batch_size 64 &&
+    run 1200 python tools/train_evaluator.py --cfg configs/config_mld_humanact12.yaml \
+        --epochs 40 --out experiments/evaluators/humanact12_gru --cpu &&
+    run 2400 python test.py --cfg configs/config_mld_humanact12.yaml --replication_times 2 \
+        --checkpoint experiments/mld/s2_humanact12/checkpoints/latest \
+        TEST.EVALUATOR_CHECKPOINT=experiments/evaluators/humanact12_gru &&
+    run 1800 python test.py --cfg configs/config_mld_humanact12.yaml --replication_times 1 \
+        TEST.EVALUATOR_CHECKPOINT=experiments/evaluators/humanact12_gru
+}
+
+t2m_chain() {
+    run 2400 python train.py --cfg configs/config_vae_humanml3d.yaml --batch_size 64 --epochs 600 &&
+    run 3000 python train.py --cfg configs/config_mld_humanml3d.yaml --batch_size 64 &&
+    run 2400 python tools/train_evaluator.py --cfg configs/config_mld_humanml3d.yaml \
+        --epochs 30 --out experiments/evaluators/t2m --cpu &&
+    run 2400 python test.py --cfg configs/config_mld_humanml3d.yaml --replication_times 2 \
+        --checkpoint experiments/mld/s2_humanml3d/checkpoints/latest \
+        TEST.T2M_EVALUATOR_DIR=experiments/evaluators/t2m &&
+    run 1800 python test.py --cfg configs/config_mld_humanml3d.yaml --replication_times 1 \
+        TEST.T2M_EVALUATOR_DIR=experiments/evaluators/t2m
+}
+
+uestc_chain() {
+    run 1800 python train.py --cfg configs/config_vae_uestc.yaml --batch_size 64 --epochs 400 &&
+    run 2400 python train.py --cfg configs/config_mld_uestc.yaml --batch_size 64 --epochs 1500 &&
+    run 1200 python tools/train_evaluator.py --cfg configs/config_mld_uestc.yaml \
+        --epochs 20 --out experiments/evaluators/uestc_stgcn --cpu &&
+    run 2400 python test.py --cfg configs/config_mld_uestc.yaml --replication_times 2 \
+        --checkpoint experiments/mld/s2_uestc/checkpoints/latest \
+        TEST.EVALUATOR_CHECKPOINT=experiments/evaluators/uestc_stgcn &&
+    run 1800 python test.py --cfg configs/config_mld_uestc.yaml --replication_times 1 \
+        TEST.EVALUATOR_CHECKPOINT=experiments/evaluators/uestc_stgcn
+}
+
+if wait_tpu; then
+    stage tpu_ego    ego_chain
+    stage tpu_a2m    a2m_chain
+    stage tpu_t2m    t2m_chain
+    stage tpu_uestc  uestc_chain
+else
+    log "relay stayed down for the whole retry budget - TPU half deferred"
+fi
+
+# ---------------- CPU half ----------------
+# The image stage 2 freezes the VAE from experiments/mld/s1_egobody; the TPU
+# ego chain above produces it at the full batch-64 protocol. If the TPU half
+# was skipped, fall back to a CPU s1 first.
+s1_fallback() {
+    if [ ! -d experiments/mld/s1_egobody/checkpoints ]; then
+        run 3600 python train.py --cfg configs/config_vae_egobody.yaml --cpu \
+            --batch_size 16 --epochs 100 model.scene_points=1024 \
+            LOGGER.SACE_CHECKPOINT_EPOCH=50
+    fi
+}
+
+image_chain() {
+    s1_fallback
+    run 4500 python train.py --cfg configs/config_mld_egobody_image.yaml --cpu \
+        --batch_size 16 --epochs 600 model.scene_points=1024 TRAIN.SCENE_CACHE=true &&
+    run 2400 python test.py --cfg configs/config_mld_egobody_image.yaml --cpu \
+        --batch_size 16 --replication_times 2 model.scene_points=1024 \
+        --checkpoint experiments/mld/s2_scene_interactee_image/checkpoints/latest &&
+    run 1800 python test.py --cfg configs/config_mld_egobody_image.yaml --cpu \
+        --batch_size 16 --replication_times 1 model.scene_points=1024
+}
+
+egohmr_chain() {
+    run 2700 python train_egohmr.py --tiny --cpu --epochs 80 --batch_size 8 \
+        --scene_points 256 --out experiments/egohmr/synthetic_convergence &&
+    run 1200 python test_egohmr.py --tiny --cpu --batch_size 8 --scene_points 256 \
+        --checkpoint experiments/egohmr/synthetic_convergence/params &&
+    run 1200 python test_egohmr.py --tiny --cpu --batch_size 8 --scene_points 256
+}
+
+prohmr_chain() {
+    run 1800 python train_prohmr_scene.py --tiny --cpu --epochs 30 \
+        --out experiments/prohmr/synthetic_convergence &&
+    run 900 python test_prohmr_scene.py --tiny --cpu \
+        --checkpoint experiments/prohmr/synthetic_convergence/params &&
+    run 900 python test_prohmr_scene.py --tiny --cpu
+}
+
+gimo_chain() {
+    run 3600 python train.py --cfg configs/config_vae_gimo.yaml --cpu \
+        --batch_size 16 --epochs 150 model.scene_points=1024 \
+        LOGGER.SACE_CHECKPOINT_EPOCH=75 &&
+    run 4500 python train.py --cfg configs/config_mld_gimo.yaml --cpu \
+        --batch_size 16 --epochs 600 model.scene_points=1024 TRAIN.SCENE_CACHE=true &&
+    run 2400 python test.py --cfg configs/config_mld_gimo.yaml --cpu \
+        --batch_size 16 --replication_times 2 model.scene_points=1024 \
+        --checkpoint experiments/mld/s2_scene_interactee_gimo/checkpoints/latest &&
+    run 1800 python test.py --cfg configs/config_mld_gimo.yaml --cpu \
+        --batch_size 16 --replication_times 1 model.scene_points=1024
+}
+
+stage cpu_image   image_chain
+stage cpu_egohmr  egohmr_chain
+stage cpu_prohmr  prohmr_chain
+stage cpu_gimo    gimo_chain
+
+log "regen_r5 sweep complete"
