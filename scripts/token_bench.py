@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--windows", type=int, default=5,
                     help="dependent windows amortized per jitted call")
     ap.add_argument("--timed", type=int, default=8)
+    ap.add_argument("--ks", default="1,4,8,16",
+                    help="samples-per-grid-step packing factors to sweep")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="scripts/TOKEN_BENCH.json")
     args = ap.parse_args()
@@ -52,6 +54,7 @@ def main():
     from seeme_tpu.ops import denoiser_fused as df
 
     B, N, NS, G = args.batch, args.n_cond, args.steps, args.guidance
+    ks = [int(k) for k in args.ks.split(",") if k]
     D = 256
     den = Denoiser(nfeats=75, md_trans=False, text_encoded_dim=768)
     rng = np.random.RandomState(0)
@@ -87,12 +90,15 @@ def main():
         z, _ = jax.lax.scan(body, z_seed, timesteps)
         return z
 
-    def fused_window(z_seed):
-        return df.ddim_fused_tokens(
-            params, cond2 if G > 1.0 else cond, z_seed, tsa, acp_t, acp_prev,
-            cond_mask=mask2 if G > 1.0 else mask,
-            num_steps=NS, guidance_scale=G,
-            interpret=args.cpu)  # CPU sanity mode: Pallas interpret only
+    def fused_window_k(k):
+        def fused_window(z_seed):
+            return df.ddim_fused_tokens(
+                params, cond2 if G > 1.0 else cond, z_seed, tsa, acp_t,
+                acp_prev, cond_mask=mask2 if G > 1.0 else mask,
+                num_steps=NS, guidance_scale=G, samples_per_step=k,
+                interpret=args.cpu)  # CPU sanity: Pallas interpret only
+
+        return fused_window
 
     def amortized(window_fn):
         @jax.jit
@@ -111,7 +117,13 @@ def main():
                "windows_per_call": args.windows,
                "backend": jax.default_backend()}
 
-    for name, fn in (("scan", scan_window), ("fused_tokens", fused_window)):
+    variants = [("scan", scan_window)]
+    # sweep the samples-per-grid-step packing factor: k=1 is the round-4
+    # sample-serial kernel (measured 0.72x the scan); larger k raises the
+    # matmul row count M = n_cfg*k*(n_tok+1+n_cond) toward MXU occupancy
+    for k in ks:
+        variants.append((f"fused_tokens_k{k}", fused_window_k(k)))
+    for name, fn in variants:
         run = amortized(fn)
         out = run(z0)
         float(jnp.sum(out))  # compile + sync on a scalar (relay protocol)
@@ -131,10 +143,16 @@ def main():
               f"({results[name]['seqs_per_s']:.0f} seqs/s) "
               f"best-of-{args.timed}, {args.windows} windows/call")
 
-    if "scan" in results and "fused_tokens" in results:
-        results["speedup"] = (results["scan"]["per_window_ms"]
-                              / results["fused_tokens"]["per_window_ms"])
-        print(f"fused speedup: {results['speedup']:.2f}x")
+    best_k, best_ms = None, None
+    for k in ks:
+        ms = results[f"fused_tokens_k{k}"]["per_window_ms"]
+        if best_ms is None or ms < best_ms:
+            best_k, best_ms = k, ms
+    if best_k is not None:
+        results["best_k"] = best_k
+        results["speedup"] = results["scan"]["per_window_ms"] / best_ms
+        print(f"best fused k={best_k}: "
+              f"{results['speedup']:.2f}x vs scan")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

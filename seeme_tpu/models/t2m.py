@@ -43,13 +43,15 @@ class T2MConfig:
     # (guidance amplifies the bf16 weight-storage rounding ~linearly)
     use_fused: bool = True
     # 77-token clip_hidden/bert modes: the sample-grid kernel
-    # (`ddim_fused_tokens`) measured 0.72x the XLA scan on real TPU
-    # (scripts/TOKEN_BENCH.json, batch 32: 25.7 vs 18.4 ms/window) — the
-    # grid serializes samples while the scan batches them, and at 79-token
-    # self-attention the scan's dispatch overhead is already amortized.
-    # The scan is therefore the default; the kernel stays available for
-    # study / future multi-sample-per-grid-step variants.
+    # (`ddim_fused_tokens`) at 1 sample/grid-step measured 0.72x the XLA
+    # scan on real TPU (scripts/TOKEN_BENCH.json, batch 32: 25.7 vs 18.4
+    # ms/window) — the grid serialized samples at M = n_cfg*79 = 158-row
+    # matmuls while the scan batched all samples. The kernel now packs
+    # `fused_tokens_samples` samples per grid step (M = n_cfg*k*79 rows);
+    # the scan stays the default until the packed variant is re-measured
+    # on-relay (scripts/token_bench.py).
     use_fused_tokens: bool = False
+    fused_tokens_samples: int = 8
     # VAE_TYPE: 'mld' (latent diffusion) or 'no' (diffusion directly over
     # per-frame features — `config_novae_humanml3d.yaml`, `mld.py:935-946`)
     vae_type: str = "mld"
@@ -239,16 +241,16 @@ class T2MSystem:
                 )
             else:
                 # 77-token clip_hidden/bert modes (padded + masked): the
-                # sample-grid kernel — each grid step owns one sample's
+                # sample-grid kernel — each grid step owns a k-sample group's
                 # full reverse process (hoisting ~100 MB of per-layer cond
-                # invariants is ruinous). Opt-in only: measured 0.72x the
-                # scan on real TPU (scripts/TOKEN_BENCH.json)
+                # invariants is ruinous). Opt-in via cfg.use_fused_tokens.
                 z = ddim_fused_tokens(
                     params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
                     cond_mask=cond_mask,
                     num_steps=cfg.num_inference_timesteps,
                     num_layers=cfg.num_layers,
                     guidance_scale=cfg.guidance_scale,
+                    samples_per_step=cfg.fused_tokens_samples,
                 )
         else:
 

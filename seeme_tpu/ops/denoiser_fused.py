@@ -717,7 +717,7 @@ def ddim_fused_grid(
 
 
 def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
-                          n_cfg):
+                          n_cfg, k):
     do_cfg = n_cfg == 2
 
     def kernel(acp_ref, acp_prev_ref, z_ref, cond_ref, mask_ref, tt_ref,
@@ -725,16 +725,18 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
         param_refs = refs[:-1]
         out_ref = refs[-1]
         params = jax.tree.unflatten(treedef, [r[...] for r in param_refs])
-        z0 = z_ref[...].astype(jnp.float32)            # (1, n_tok, D)
-        cond = cond_ref[...].astype(jnp.float32)        # (1, n_cfg, N, D)
-        cond = cond.reshape(cond.shape[1:])             # (n_cfg, N, D)
+        z0 = z_ref[...].astype(jnp.float32)            # (k, n_tok, D)
+        cond = cond_ref[...].astype(jnp.float32)        # (1, n_cfg*k, N, D)
+        # rows are XLA-side pre-ordered [uncond x k; cond x k] so the only
+        # in-kernel reshape collapses leading dims (free under Mosaic)
+        cond = cond.reshape(cond.shape[1:])             # (n_cfg*k, N, D)
         S = z0.shape[1] + 1 + cond.shape[1]
-        # mask_ref block is (1, 1, n_cfg*S): pre-flattened XLA-side (the
-        # n_cfg repeats already concatenated along the lane axis) because
+        # mask_ref block is (1, 1, n_cfg*k*S): pre-flattened XLA-side (the
+        # n_cfg*k row masks already concatenated along the lane axis) because
         # Mosaic can lower neither a (1, S) block over a (B, S) array nor
-        # the (n_cfg, S) -> (1, n_cfg*S) sublane->lane reshape in-kernel;
+        # the (n_cfg*k, S) -> (1, n_cfg*k*S) sublane->lane reshape in-kernel;
         # dropping the leading unit dims is the one reshape that IS free
-        mask_add = mask_ref[...].reshape(1, n_cfg * S).astype(jnp.float32)
+        mask_add = mask_ref[...].reshape(1, n_cfg * k * S).astype(jnp.float32)
         tt = tt_ref[...]                                # (num_steps, D) f32
 
         def body(i, z):
@@ -745,7 +747,7 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
             ).astype(jnp.float32)
             t_tok = jnp.dot(onehot, tt, preferred_element_type=jnp.float32)
             time_token = jnp.broadcast_to(
-                t_tok[None], (n_cfg, 1, tt.shape[-1]))
+                t_tok[None], (n_cfg * k, 1, tt.shape[-1]))
             z_in = (jnp.concatenate([z, z], axis=0) if do_cfg else z)
             pred = denoiser_apply_pure(
                 params, z_in, None, cond, num_layers, md_trans=False,
@@ -753,8 +755,8 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
                 time_token=time_token,
             )
             if do_cfg:
-                uncond = jax.lax.slice_in_dim(pred, 0, 1, axis=0)
-                cond_pred = jax.lax.slice_in_dim(pred, 1, 2, axis=0)
+                uncond = jax.lax.slice_in_dim(pred, 0, k, axis=0)
+                cond_pred = jax.lax.slice_in_dim(pred, k, 2 * k, axis=0)
                 eps = uncond + guidance_scale * (cond_pred - uncond)
             else:
                 eps = pred
@@ -771,7 +773,8 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "num_layers", "guidance_scale", "interpret"),
+    static_argnames=("num_steps", "num_layers", "guidance_scale",
+                     "samples_per_step", "interpret"),
 )
 def ddim_fused_tokens(
     denoiser_params: Dict,
@@ -784,6 +787,7 @@ def ddim_fused_tokens(
     num_steps: int = 50,
     num_layers: int = 5,
     guidance_scale: float = 1.0,
+    samples_per_step: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused DDIM for the LONG-conditioning token modes (md_trans=False).
@@ -791,33 +795,48 @@ def ddim_fused_tokens(
     `ddim_fused` hoists per-layer condition projections into VMEM — fine for
     the pooled CLIP token, ruinous at the 77-token clip_hidden/bert
     sequences (~100 MB of invariants at batch 64). This variant instead runs
-    a Pallas GRID OVER SAMPLES: each grid step owns one sample's full
-    50-step reverse process over the [latent; time; cond] token concat
-    (`mld_denoiser.py:110-121`), so the working set is one sample's tokens
-    — (n_cfg*S, D) activations and an (n_cfg*S)^2 logits tile at S = n_tok
-    + 1 + n_cond — while the bf16 weights stay VMEM-resident across the
-    whole grid (constant-index blocks are fetched once). Per-window
-    XLA-side precompute (f32): the emb_proj condition projection and the
-    time-token MLP for all steps. CFG runs both halves as 2 rows of the
-    same sample's block-diagonal attention. Padded condition tokens are
-    excluded as attention keys via an additive mask, matching the flax
-    `key_valid_mask` semantics exactly.
+    a Pallas GRID OVER SAMPLE GROUPS: each grid step owns `samples_per_step`
+    (k) samples' full 50-step reverse process over the [latent; time; cond]
+    token concat (`mld_denoiser.py:110-121`), batched as one
+    block-diagonal-masked attention of n_cfg*k*S rows at S = n_tok + 1 +
+    n_cond, while the bf16 weights stay VMEM-resident across the whole grid
+    (constant-index blocks are fetched once). Per-window XLA-side precompute
+    (f32): the emb_proj condition projection and the time-token MLP for all
+    steps. CFG runs each sample's two halves as rows of the same
+    block-diagonal attention, pre-ordered [uncond x k; cond x k] per grid
+    block. Padded condition tokens are excluded as attention keys via an
+    additive mask, matching the flax `key_valid_mask` semantics exactly; B
+    is zero-padded up to a multiple of k (padded outputs discarded).
+
+    k is the MXU row-occupancy lever: the k=1 variant measured 0.72x the
+    XLA scan (each grid step ran M = n_cfg*S = 158-row matmuls, the same
+    systolic-fill-bound regime as the pooled kernel's M=64 —
+    `scripts/DDIM_ROOFLINE.json`); packing k samples raises M to
+    n_cfg*k*S rows per matmul at identical total flops.
     """
     B = z0.shape[0]
     dp = denoiser_params["params"]
     do_cfg = guidance_scale > 1.0
     n_cfg = 2 if do_cfg else 1
     assert cond.shape[0] == n_cfg * B, (cond.shape, B, guidance_scale)
+    k = max(1, min(samples_per_step, B))
+    n_grp = -(-B // k)          # ceil
+    Bp = n_grp * k
 
     # ---- XLA-side per-window precompute (f32, batched: better MXU shapes)
     cond_p, time_tokens = _window_precompute(dp, cond, z0.shape[-1], timesteps)
-    # (B, n_cfg, N, D): sample-major so the grid can block per sample; CFG
-    # order inside each sample stays [uncond; cond] (`t2m.py::sample`)
-    cond_p = jnp.stack([cond_p[h * B:(h + 1) * B] for h in range(n_cfg)],
-                       axis=1)
-
     n_tok, D = z0.shape[1], z0.shape[2]
     N = cond.shape[1]
+    Dp = cond_p.shape[-1]
+    # (n_grp, n_cfg*k, N, Dp): grid-blocked per sample GROUP, rows inside a
+    # block ordered [uncond x k; cond x k] so the kernel's only reshape
+    # collapses leading dims; CFG half order per sample stays [uncond; cond]
+    # at the eps-mix (`t2m.py::sample`)
+    cond_p = cond_p.reshape(n_cfg, B, N, Dp)
+    cond_p = jnp.pad(cond_p, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
+    cond_p = cond_p.reshape(n_cfg, n_grp, k, N, Dp).transpose(1, 0, 2, 3, 4)
+    cond_p = cond_p.reshape(n_grp, n_cfg * k, N, Dp)
+
     S = n_tok + 1 + N
     if cond_mask is None:
         mask_add = jnp.zeros((B, S), jnp.float32)
@@ -826,36 +845,45 @@ def ddim_fused_tokens(
             [jnp.ones((B, n_tok + 1), bool), cond_mask[:B].astype(bool)],
             axis=1)
         mask_add = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    # padded samples keep an all-valid (0.0) mask: their rows attend over
+    # zero tokens, stay finite, and are sliced away below
+    mask_add = jnp.pad(mask_add, ((0, Bp - B), (0, 0)))
+    mask_add = jnp.broadcast_to(
+        mask_add.reshape(n_grp, 1, k, S), (n_grp, n_cfg, k, S)
+    ).reshape(n_grp, 1, n_cfg * k * S)
+
+    z0p = jnp.pad(z0, ((0, Bp - B), (0, 0), (0, 0)))
 
     leaves, treedef = jax.tree.flatten(denoiser_params)
     leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
     kernel = _token_kernel_factory(
-        treedef, num_steps, num_layers, guidance_scale, n_cfg)
+        treedef, num_steps, num_layers, guidance_scale, n_cfg, k)
 
     whole = lambda *shape: pl.BlockSpec(  # noqa: E731 — same block every step
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec((1, n_tok, D), lambda i: (i, 0, 0),
+        + [pl.BlockSpec((k, n_tok, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((1, n_cfg, N, D), lambda i: (i, 0, 0, 0),
+        + [pl.BlockSpec((1, n_cfg * k, N, Dp), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)]
-        # (B, 1, n_cfg*S) with block (1, 1, n_cfg*S): a bare (1, S) block
-        # over (B, S) fails Mosaic lowering (second-to-last block dim 1 is
-        # neither 8-divisible nor equal to B) — the singleton axis makes the
-        # last two block dims equal the array's; the n_cfg*S lane width is
-        # the pre-flattened per-row attention-key mask (see kernel comment)
-        + [pl.BlockSpec((1, 1, n_cfg * S), lambda i: (i, 0, 0),
+        # (n_grp, 1, n_cfg*k*S) with block (1, 1, n_cfg*k*S): a bare (k, S)
+        # block over (Bp, S) fails Mosaic lowering when the second-to-last
+        # block dim is neither 8-divisible nor the full array dim — the
+        # singleton axis makes the last two block dims equal the array's;
+        # the n_cfg*k*S lane width is the pre-flattened per-row
+        # attention-key mask (see kernel comment)
+        + [pl.BlockSpec((1, 1, n_cfg * k * S), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)]
         + [whole(*time_tokens.shape)]
         + [whole(*l.shape) for l in leaves_bf16]
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        out_shape=jax.ShapeDtypeStruct(z0.shape, z0.dtype),
+        grid=(n_grp,),
+        out_shape=jax.ShapeDtypeStruct(z0p.shape, z0.dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_tok, D), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((k, n_tok, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -863,12 +891,13 @@ def ddim_fused_tokens(
     )(
         acp_t.reshape(1, -1).astype(jnp.float32),
         acp_prev.reshape(1, -1).astype(jnp.float32),
-        z0,
+        z0p,
         cond_p.astype(jnp.float32),
-        jnp.tile(mask_add, (1, n_cfg))[:, None, :],
+        mask_add,
         time_tokens.astype(jnp.float32),
         *leaves_bf16,
     )
+    return out[:B] if Bp != B else out
 
 
 def ddim_schedule_arrays(schedule, num_steps: int):

@@ -276,6 +276,53 @@ class TestFusedDenoiser:
         np.testing.assert_allclose(np.asarray(out), np.asarray(z),
                                    atol=0.06 * scale)
 
+    def test_fused_tokens_multi_sample_packing_and_padding(self):
+        """samples_per_step > 1: k samples share one grid step as extra
+        block-diagonal rows; B not divisible by k exercises the zero-pad +
+        slice-back path. Every k must land inside the f32 scan's bf16
+        envelope (a CFG-order or padding bug would blow it up by ~10x at
+        guidance 7.5), and the k variants must cluster tighter still —
+        their only divergence is matmul-shape-dependent bf16 rounding."""
+        import jax
+
+        from seeme_tpu.diffusion import DiffusionSchedule
+        from seeme_tpu.models import Denoiser
+        from seeme_tpu.ops import denoiser_fused as df
+
+        den = Denoiser(nfeats=75, md_trans=False, text_encoded_dim=768)
+        B, D, N, NS, G = 3, 256, 11, 4, 7.5
+        rng = np.random.RandomState(5)
+        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+        cond = jnp.asarray(rng.randn(B, N, 768).astype(np.float32))
+        lengths = [4, 9, 11]
+        mask = jnp.asarray(
+            np.arange(N)[None, :] < np.asarray(lengths)[:, None])
+        cond = cond * mask[..., None]
+        params = den.init(jax.random.PRNGKey(0), z0,
+                          jnp.zeros((B,), jnp.int32), cond)
+        cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        sched = DiffusionSchedule()
+        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
+        z = z0
+        for t in np.asarray(sched.ddim_timesteps(NS)):
+            z_in = jnp.concatenate([z, z], axis=0)
+            pred = den.apply(params, z_in, jnp.full((2 * B,), t), cond2,
+                             cond_mask=mask2)
+            eps = pred[:B] + G * (pred[B:] - pred[:B])
+            z = sched.ddim_step(eps, jnp.asarray(t), z, NS)
+        scan = np.asarray(z)
+        scale = float(np.abs(scan).max())
+        outs = {}
+        for k in (1, 2, 3):   # k=2 pads B=3 -> 4 (2 grid steps)
+            outs[k] = np.asarray(df.ddim_fused_tokens(
+                params, cond2, z0, tsa, acp_t, acp_prev, cond_mask=mask2,
+                num_steps=NS, guidance_scale=G, samples_per_step=k,
+                interpret=True))
+            np.testing.assert_allclose(outs[k], scan, atol=0.06 * scale)
+        for k in (2, 3):
+            np.testing.assert_allclose(outs[k], outs[1], atol=0.02 * scale)
+
     def test_fused_grid_cfg_matches_loop(self):
         """CFG path: the doubled-cond grid kernel matches the fori_loop
         kernel at guidance > 1 (uncond rows zeroed, `mld.py:467-492`)."""
