@@ -25,6 +25,42 @@ POS_ENUMERATOR = {
 WORD_DIM = 300
 POS_DIM = len(POS_ENUMERATOR)
 
+# VIP word classes (`word_vectorizer.py:22-44`): an in-vocab word appearing in
+# one of these lists gets its POS one-hot remapped to the VIP class instead of
+# the token's own POS tag, checked in dict order (Loc, Body, Obj, Act, Desc —
+# first hit wins). The t2m evaluator was trained on this protocol, so skipping
+# the remap shifts R-precision/Matching/FID on real assets.
+VIP_DICT = {
+    "Loc_VIP": (
+        "left", "right", "clockwise", "counterclockwise", "anticlockwise",
+        "forward", "back", "backward", "up", "down", "straight", "curve",
+    ),
+    "Body_VIP": (
+        "arm", "chin", "foot", "feet", "face", "hand", "mouth", "leg",
+        "waist", "eye", "knee", "shoulder", "thigh",
+    ),
+    "Obj_VIP": (
+        "stair", "dumbbell", "chair", "window", "floor", "car", "ball",
+        "handrail", "baseball", "basketball",
+    ),
+    "Act_VIP": (
+        "walk", "run", "swing", "pick", "bring", "kick", "put", "squat",
+        "throw", "hop", "dance", "jump", "turn", "stumble", "dance", "stop",
+        "sit", "lift", "lower", "raise", "wash", "stand", "kneel", "stroll",
+        "rub", "bend", "balance", "flap", "jog", "shuffle", "lean", "rotate",
+        "spin", "spread", "climb",
+    ),
+    "Desc_VIP": (
+        "slowly", "carefully", "fast", "careful", "slow", "quickly", "happy",
+        "angry", "sad", "happily", "angrily", "sadly",
+    ),
+}
+_WORD_TO_VIP = {}
+for _cls, _words in VIP_DICT.items():
+    for _w in _words:
+        _WORD_TO_VIP.setdefault(_w, _cls)  # first class wins, like dict-order scan
+del _cls, _words, _w
+
 
 class WordVectorizer:
     def __init__(self, meta_root: str | None = None, prefix: str = "our_vab"):
@@ -44,15 +80,25 @@ class WordVectorizer:
         return rng.randn(WORD_DIM).astype(np.float32) / np.sqrt(WORD_DIM)
 
     def __getitem__(self, item: str) -> Tuple[np.ndarray, np.ndarray]:
-        """'word/POS' -> (word vector (300,), pos one-hot (15,))."""
+        """'word/POS' -> (word vector (300,), pos one-hot (15,)).
+
+        Matches `word_vectorizer.py:66-80`: an in-vocab VIP word's POS
+        one-hot is remapped to its VIP class; an out-of-vocab word maps to
+        the 'unk' vector with pos forced to OTHER (regardless of its tag).
+        """
         word, pos = item.split("/") if "/" in item else (item, "OTHER")
+        in_vocab = self.is_fallback or word in self.word2idx
+        if in_vocab:
+            pos = _WORD_TO_VIP.get(word, pos)
+        else:
+            pos = "OTHER"
         pos_vec = np.zeros(POS_DIM, np.float32)
         pos_vec[POS_ENUMERATOR.get(pos, POS_ENUMERATOR["OTHER"])] = 1.0
-        if not self.is_fallback and word in self.word2idx:
+        if self.is_fallback:
+            return self._hash_vec(word), pos_vec
+        if word in self.word2idx:
             return self.word2vec[self.word2idx[word]].astype(np.float32), pos_vec
-        if not self.is_fallback:
-            return self.word2vec[self.word2idx.get("unk", 0)].astype(np.float32), pos_vec
-        return self._hash_vec(word), pos_vec
+        return self.word2vec[self.word2idx.get("unk", 0)].astype(np.float32), pos_vec
 
     def tokens_to_arrays(self, tokens: List[str], max_text_len: int = 20):
         """Caption tokens -> padded (word_embs, pos_onehots, length) with the

@@ -1057,3 +1057,49 @@ def test_reference_egohmr_x_start_chain_golden(ref, ref_egohmr, ref_diffusion):
     xt_j = sched.add_noise(x_start_j, jnp.asarray(noise.numpy()),
                            jnp.asarray(t.numpy()))
     np.testing.assert_allclose(np.asarray(xt_j), xt_ref.numpy(), atol=1e-4)
+
+
+def test_reference_word_vectorizer_parity(ref, tmp_path):
+    """Same tokens -> identical (word_vec, pos_onehot) vs the genuine
+    WordVectorizer (`mld/data/humanml/utils/word_vectorizer.py:46-80`),
+    including the VIP remap and the unk/OTHER out-of-vocab path, on a
+    fabricated GloVe vocab."""
+    import importlib
+    import pickle
+
+    wv_mod = importlib.import_module("mld.data.humanml.utils.word_vectorizer")
+
+    rng = np.random.RandomState(0)
+    words = ["unk", "person", "walk", "left", "arm", "chair", "slowly",
+             "a", "the", "sos", "eos"]
+    vectors = rng.randn(len(words), 300).astype(np.float64)
+    word2idx = {w: i for i, w in enumerate(words)}
+    np.save(tmp_path / "our_vab_data.npy", vectors)
+    with open(tmp_path / "our_vab_words.pkl", "wb") as f:
+        pickle.dump(words, f)
+    with open(tmp_path / "our_vab_idx.pkl", "wb") as f:
+        pickle.dump(word2idx, f)
+
+    theirs = wv_mod.WordVectorizer(str(tmp_path), "our_vab")
+    from seeme_tpu.data.word_vectorizer import WordVectorizer
+
+    ours = WordVectorizer(str(tmp_path), "our_vab")
+    assert not ours.is_fallback
+
+    tokens = [
+        "person/NOUN",        # plain in-vocab word, own tag
+        "walk/VERB",          # Act_VIP overrides VERB
+        "walk/NOUN",          # Act_VIP overrides any tag
+        "left/ADJ",           # Loc_VIP
+        "arm/NOUN",           # Body_VIP
+        "chair/NOUN",         # Obj_VIP
+        "slowly/ADV",         # Desc_VIP
+        "a/DET", "the/DET",
+        "zzzmissing/NOUN",    # OOV -> unk vector + OTHER pos
+        "sos/OTHER", "eos/OTHER",
+    ]
+    for tok in tokens:
+        wv_t, pos_t = theirs[tok]
+        wv_j, pos_j = ours[tok]
+        np.testing.assert_allclose(wv_j, wv_t, atol=0, err_msg=tok)
+        np.testing.assert_array_equal(pos_j, pos_t, err_msg=tok)
