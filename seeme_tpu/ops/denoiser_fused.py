@@ -771,6 +771,13 @@ def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
     return kernel
 
 
+# Max attention rows (n_cfg*k*S) for ddim_fused_tokens: 1280 rows keep the
+# dense f32 logits (1280^2*4 = 6.6 MB) + softmax + AV well inside the 100 MB
+# vmem_limit next to the resident bf16 weights and activations. At the t2m
+# protocol (S=79) this clamps k to 16 without CFG and 8 with CFG.
+_TOKEN_ROW_BUDGET = 1280
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "num_layers", "guidance_scale",
@@ -812,7 +819,13 @@ def ddim_fused_tokens(
     XLA scan (each grid step ran M = n_cfg*S = 158-row matmuls, the same
     systolic-fill-bound regime as the pooled kernel's M=64 —
     `scripts/DDIM_ROOFLINE.json`); packing k samples raises M to
-    n_cfg*k*S rows per matmul at identical total flops.
+    n_cfg*k*S rows per matmul. The dense QKV/FFN projections keep
+    identical total flops; the attention logits/AV pair does NOT — it is
+    computed as one dense (n_cfg*k*S)^2 block and masked, so attention
+    flops per sample grow ~k-fold. At S ~ 79 attention dominates, so the
+    sweet spot is small k (occupancy win beats the masked-flop cost only
+    while the matmuls are fill-bound). k is additionally clamped so the
+    f32 logits + softmax tiles fit VMEM (see _TOKEN_ROW_BUDGET).
     """
     B = z0.shape[0]
     dp = denoiser_params["params"]
@@ -820,6 +833,14 @@ def ddim_fused_tokens(
     n_cfg = 2 if do_cfg else 1
     assert cond.shape[0] == n_cfg * B, (cond.shape, B, guidance_scale)
     k = max(1, min(samples_per_step, B))
+    # VMEM guard: the kernel materializes the dense (n_cfg*k*S)^2 f32
+    # logits block plus its softmax — at 2528 rows that alone is ~50 MB of
+    # the 100 MB vmem_limit, and Mosaic allocation fails once activations,
+    # skips, and the resident bf16 weights are added. Clamp k so the row
+    # count stays within budget instead of letting large sweeps OOM.
+    n_tok_, N_ = z0.shape[1], cond.shape[1]
+    S_ = n_tok_ + 1 + N_
+    k = max(1, min(k, _TOKEN_ROW_BUDGET // (n_cfg * S_)))
     n_grp = -(-B // k)          # ceil
     Bp = n_grp * k
 
