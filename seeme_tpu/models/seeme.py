@@ -508,7 +508,6 @@ class SeeMeSystem:
         if (
             cfg.use_fused
             and jax.default_backend() != "cpu"
-            and cfg.guidance_scale <= 1.0
             and cfg.eta == 0.0
             and cfg.md_trans
             and cfg.predict_epsilon
@@ -533,10 +532,16 @@ class SeeMeSystem:
             impl = (ddim_fused_grid
                     if cfg.fused_variant == "grid" and cfg.latent_dim[0] == 1
                     else ddim_fused)
+            # CFG runs inside the kernel: cond_full is the [uncond; cond]
+            # doubled batch (`mld.py:467-492`), the per-sample halves mix
+            # as eps = uncond + g*(cond - uncond) per step — at the protocol
+            # batch 64 this doubles the attention/FFN row count to M=128,
+            # exactly filling the 128-row MXU (scripts/DDIM_ROOFLINE.json)
             z = impl(
                 params["denoiser"], cond_full, z0, tsa, acp_t, acp_prev,
                 num_steps=cfg.num_inference_timesteps,
                 num_layers=cfg.num_layers,
+                guidance_scale=cfg.guidance_scale,
             )
         else:
 

