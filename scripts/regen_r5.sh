@@ -90,7 +90,7 @@ t2m_chain() {
 uestc_chain() {
     run 1800 python train.py --cfg configs/config_vae_uestc.yaml --batch_size 64 --epochs 400 &&
     run 2400 python train.py --cfg configs/config_mld_uestc.yaml --batch_size 64 --epochs 1500 &&
-    run 1200 python tools/train_evaluator.py --cfg configs/config_mld_uestc.yaml \
+    run 1800 python tools/train_evaluator.py --cfg configs/config_mld_uestc.yaml \
         --epochs 20 --out experiments/evaluators/uestc_stgcn --cpu &&
     run 2400 python test.py --cfg configs/config_mld_uestc.yaml --replication_times 2 \
         --checkpoint experiments/mld/s2_uestc/checkpoints/latest \

@@ -30,6 +30,7 @@ def ddim_sample(
     eta: float = 0.0,
     guidance_scale: float = 1.0,
     dtype=jnp.float32,
+    z_init: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Draw x_0 samples of `shape` via the DDIM reverse process.
 
@@ -38,9 +39,15 @@ def ddim_sample(
     `uncond + s * (cond - uncond)` (`mld.py:488-492`). The caller builds the
     doubled conditioning into its closure — this keeps the scan body a single
     jitted denoiser call either way.
+
+    z_init: optional externally-drawn initial noise (already at unit std;
+    scaled by init_noise_sigma here) — the deterministic-replay hook used by
+    cross-framework parity harnesses (tools/preflight.py --end-to-end).
     """
     rng, init_rng = jax.random.split(rng)
-    latents = jax.random.normal(init_rng, shape, dtype) * schedule.init_noise_sigma
+    latents = (jnp.asarray(z_init, dtype) if z_init is not None
+               else jax.random.normal(init_rng, shape, dtype))
+    latents = latents * schedule.init_noise_sigma
 
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
     do_cfg = guidance_scale > 1.0

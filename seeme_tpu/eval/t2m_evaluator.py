@@ -39,24 +39,39 @@ class T2MEvaluator:
         max_text_len: int = 20,
         ckpt_dir: Optional[str] = None,
         glove_root: Optional[str] = None,
+        # network widths (released text_mot_match defaults; overridable so
+        # non-standard checkpoints — e.g. the preflight end-to-end harness's
+        # fabricated tiny trio — load into matching modules)
+        word_size: int = 300,
+        pos_size: int = 15,
+        text_hidden: int = 512,
+        move_hidden: int = 512,
+        move_out: int = 512,
+        motion_hidden: int = 1024,
+        output_size: int = 512,
     ):
         self.unit_len = unit_len
         self.max_text_len = max_text_len
         self.vectorizer = WordVectorizer(glove_root)
-        self.text_enc = TextEncoderBiGRUCo()
-        self.move_enc = MovementConvEncoder()
-        self.motion_enc = MotionEncoderBiGRUCo()
+        self.text_enc = TextEncoderBiGRUCo(
+            word_size=word_size, pos_size=pos_size, hidden_size=text_hidden,
+            output_size=output_size)
+        self.move_enc = MovementConvEncoder(
+            hidden_size=move_hidden, output_size=move_out)
+        self.motion_enc = MotionEncoderBiGRUCo(
+            input_size=move_out, hidden_size=motion_hidden,
+            output_size=output_size)
 
         r1, r2, r3 = jax.random.split(jax.random.PRNGKey(0), 3)
         self.text_params = self.text_enc.init(
             r1,
-            jnp.zeros((1, max_text_len + 2, 300)),
-            jnp.zeros((1, max_text_len + 2, 15)),
+            jnp.zeros((1, max_text_len + 2, word_size)),
+            jnp.zeros((1, max_text_len + 2, pos_size)),
             jnp.ones((1,), jnp.int32),
         )
         self.move_params = self.move_enc.init(r2, jnp.zeros((1, 8, nfeats - 4)))
         self.motion_params = self.motion_enc.init(
-            r3, jnp.zeros((1, 4, 512)), jnp.ones((1,), jnp.int32)
+            r3, jnp.zeros((1, 4, move_out)), jnp.ones((1,), jnp.int32)
         )
         self.is_pretrained = False
         if ckpt_dir:

@@ -75,6 +75,11 @@ class TM2TMetrics:
     R_size: int = 32
     diversity_times: int = 300
     seed: int = 1234
+    # deterministic-replay hook: an externally-supplied permutation used
+    # instead of the seeded shuffle (cross-framework metric parity,
+    # tools/preflight.py --end-to-end — the reference shuffles with
+    # torch.randperm, `tm2t.py:89`, which no numpy seed can reproduce)
+    shuffle_idx: np.ndarray = None
     text_embeddings: List[np.ndarray] = field(default_factory=list)
     recmotion_embeddings: List[np.ndarray] = field(default_factory=list)
     gtmotion_embeddings: List[np.ndarray] = field(default_factory=list)
@@ -89,8 +94,12 @@ class TM2TMetrics:
         gen = np.concatenate(self.recmotion_embeddings)
         gt = np.concatenate(self.gtmotion_embeddings)
         n = len(texts)
-        rng = np.random.RandomState(self.seed)
-        shuffle = rng.permutation(n)
+        if self.shuffle_idx is not None:
+            shuffle = np.asarray(self.shuffle_idx)
+            assert shuffle.shape == (n,), (shuffle.shape, n)
+        else:
+            rng = np.random.RandomState(self.seed)
+            shuffle = rng.permutation(n)
         texts, gen, gt = texts[shuffle], gen[shuffle], gt[shuffle]
 
         metrics: Dict[str, float] = {}

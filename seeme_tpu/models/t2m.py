@@ -55,6 +55,13 @@ class T2MConfig:
     # VAE_TYPE: 'mld' (latent diffusion) or 'no' (diffusion directly over
     # per-frame features — `config_novae_humanml3d.yaml`, `mld.py:935-946`)
     vae_type: str = "mld"
+    # the reference MldVae ctor HARD-CODES num_layers=5/ff_size=128
+    # (`mld_vae.py:51-53`) regardless of the yaml, while the denoiser takes
+    # both from config — so converted checkpoints can carry different vae /
+    # denoiser widths. None = share the denoiser's values (the shipped
+    # configs, where both are 5/128).
+    vae_num_layers: int = None
+    vae_ff_size: int = None
     # denoiser arch: 'trans_enc' (U-skip) or 'trans_dec' (the novae config)
     arch: str = "trans_enc"
     mlp_dist: bool = False  # ABLATION.MLP_DIST (`mld_vae.py:107-110`)
@@ -69,7 +76,8 @@ class T2MSystem:
         if not self.diffusion_only:
             self.vae = MotionVae(
                 nfeats=cfg.nfeats, latent_dim=tuple(cfg.latent_dim),
-                ff_size=cfg.ff_size, num_layers=cfg.num_layers,
+                ff_size=cfg.vae_ff_size or cfg.ff_size,
+                num_layers=cfg.vae_num_layers or cfg.num_layers,
                 num_heads=cfg.num_heads, dropout=cfg.dropout,
                 mlp_dist=cfg.mlp_dist,
             )
@@ -185,6 +193,7 @@ class T2MSystem:
         lengths: Optional[jnp.ndarray] = None,
         nframes: Optional[int] = None,
         cond_mask: Optional[jnp.ndarray] = None,  # (B, n_cond) True = valid
+        z_init: Optional[jnp.ndarray] = None,     # parity-replay initial noise
     ) -> jnp.ndarray:
         """text embedding (B, 1, 768) -> motion features (B, T, nfeats)."""
         cfg = self.cfg
@@ -212,6 +221,7 @@ class T2MSystem:
                 denoiser_fn, self.schedule, rng, (B, T, cfg.nfeats),
                 num_inference_steps=cfg.num_inference_timesteps,
                 guidance_scale=cfg.guidance_scale,
+                z_init=z_init,
             )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
@@ -225,7 +235,9 @@ class T2MSystem:
                 ddim_fused, ddim_fused_tokens, ddim_schedule_arrays)
 
             rng, init_rng = jax.random.split(rng)
-            z0 = jax.random.normal(init_rng, shape) * self.schedule.init_noise_sigma
+            z0 = (jnp.asarray(z_init, jnp.float32) if z_init is not None
+                  else jax.random.normal(init_rng, shape))
+            z0 = z0 * self.schedule.init_noise_sigma
             tsa, acp_t, acp_prev = ddim_schedule_arrays(
                 self.schedule, cfg.num_inference_timesteps
             )
@@ -263,6 +275,7 @@ class T2MSystem:
                 shape,
                 num_inference_steps=cfg.num_inference_timesteps,
                 guidance_scale=cfg.guidance_scale,
+                z_init=z_init,
             )
         return self.vae.apply(
             params["vae"], z, nframes or cfg.max_len, lengths,

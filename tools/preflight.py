@@ -79,6 +79,35 @@ def _install_ref_stubs() -> None:
         yacs.config = yacs_config
         sys.modules["yacs"] = yacs
         sys.modules["yacs.config"] = yacs_config
+    if "omegaconf" not in sys.modules:
+        # `mld/models/metrics/__init__.py` -> compute.py -> mld.config ->
+        # omegaconf; import-only (parse_args is never called here)
+        oc = types.ModuleType("omegaconf")
+        oc.OmegaConf = type("OmegaConf", (), {})
+        sys.modules["omegaconf"] = oc
+    if "torchmetrics" not in sys.modules:
+        # minimal plumbing stub so the GENUINE metric classes
+        # (`mld/models/metrics/tm2t.py`, `mr.py`) import: Metric is only a
+        # state-registration base there (no sync — single process), and
+        # pairwise_euclidean_distance is imported but unused at runtime
+        # (they call their own euclidean_distance_matrix). All metric MATH
+        # stays reference code.
+        import torch as _torch
+
+        class _Metric(_torch.nn.Module):
+            def __init__(self, dist_sync_on_step=False, **kw):
+                super().__init__()
+
+            def add_state(self, name, default=None, dist_reduce_fx=None):
+                setattr(self, name, default)
+
+        tm = types.ModuleType("torchmetrics")
+        tm.Metric = _Metric
+        tmf = types.ModuleType("torchmetrics.functional")
+        tmf.pairwise_euclidean_distance = lambda a, b: _torch.cdist(a, b)
+        tm.functional = tmf
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = tmf
 
 
 def _import_ref(name: str):
@@ -553,6 +582,258 @@ def parity_uestc_stgcn(sd: Dict) -> tuple:
 # asset specs
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# end-to-end metric parity (--end-to-end): generation -> evaluator
+# embeddings -> metric values, converted-vs-genuine on one shared batch
+# --------------------------------------------------------------------------
+
+def end_to_end_t2m(mld_sd: Dict, t2m_sd: Dict, n: int = 40, T: int = 24,
+                   steps: int = 5, guidance: float = 2.5) -> tuple:
+    """Metric-LEVEL parity on the t2m chain (VERDICT r4 next #7).
+
+    Forward parity proves each module; this proves the COMPOSED protocol:
+    both sides generate from the identical initial noise and text
+    conditioning, embed with the t2m evaluator weights, and compute the
+    metric values test.py reports —
+
+      JAX:   converted weights -> T2MSystem.sample (the XLA scan test.py
+             runs on CPU) -> T2MEvaluator -> TM2TMetrics + MRMetrics
+             (the exact classes `test.py::_t2m_eval` uses)
+      torch: GENUINE MldVae/MldDenoiser/t2m encoders with the original
+             weights -> the reference DDIM update (`mld.py:455-511`, eta=0,
+             schedule arrays golden-tested vs the real diffusion lib in
+             tests/test_parity_reference.py) -> the GENUINE TM2TMetrics /
+             MRMetrics (`tm2t.py`, `mr.py`; torchmetrics plumbing stubbed)
+             with GENUINE recover_from_ric joints
+
+    Both metric stacks consume the same shuffle permutation (the reference
+    shuffles with torch.randperm, `tm2t.py:89` — replayed into our
+    TM2TMetrics.shuffle_idx hook). Diversity is excluded from the strict
+    comparison: both sides estimate it over RNG-drawn pairs that no shared
+    seed can align (reference: global np.random, `utils.py:230-243`).
+    Returns (max |metric delta| as the parity err, detail string).
+
+    Uses equal sequence lengths so the reference MRMetrics' padded-frame
+    accumulation quirk (`mr.py:74-97`: full padded rows summed, divided by
+    sum(lengths)) and our length-sliced accumulation agree exactly.
+    """
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from convert_checkpoint import (
+        convert_mld_checkpoint,
+        convert_t2m_motionencoder,
+        convert_t2m_movementencoder,
+        convert_t2m_textencoder,
+        infer_md_trans,
+        infer_skip_layers,
+    )
+
+    ref_vae = _import_ref("mld.models.architectures.mld_vae")
+    ref_den = _import_ref("mld.models.architectures.mld_denoiser")
+    ref_tenc = _import_ref("mld.models.architectures.t2m_textenc")
+    ref_menc = _import_ref("mld.models.architectures.t2m_motionenc")
+    ref_tm2t = _import_ref("mld.models.metrics.tm2t")
+    ref_mr = _import_ref("mld.models.metrics.mr")
+    ref_mp = _import_ref("mld.data.humanml.scripts.motion_process")
+
+    # ---- dims inferred from the state dicts (same rules as parity_mld)
+    nfeats = mld_sd["vae.skel_embedding.weight"].shape[1]
+    n_tok, d = mld_sd["vae.global_motion_token"].shape
+    latent_size = n_tok // 2
+    den_sd = {k[len("denoiser."):]: v for k, v in mld_sd.items()
+              if k.startswith("denoiser.")}
+    if not den_sd:
+        return float("nan"), "stage-1 checkpoint (no denoiser) - skipped"
+    if infer_md_trans(den_sd):
+        return float("nan"), "md_trans denoiser: not a t2m chain - skipped"
+    num_layers = infer_skip_layers(den_sd)
+    ff = den_sd["encoder.input_blocks.0.linear1.weight"].shape[0]
+    vae_sd = {k[len("vae."):]: v for k, v in mld_sd.items()
+              if k.startswith("vae.")}
+    vae_ff = vae_sd["encoder.input_blocks.0.linear1.weight"].shape[0]
+    vae_layers = infer_skip_layers(
+        {k: v for k, v in vae_sd.items() if k.startswith("encoder.")})
+    text_dim = (den_sd["emb_proj.1.weight"].shape[1]
+                if "emb_proj.1.weight" in den_sd else d)
+    joints_num = (nfeats + 1) // 12              # 12j - 1 = nfeats (RIC)
+    if 12 * joints_num - 1 != nfeats:
+        return float("nan"), (f"nfeats={nfeats} is not a RIC layout "
+                              "(12j-1) - skipped")
+
+    # ---- shared inputs: GT motions, text conditioning, initial noise
+    rng = np.random.RandomState(11)
+    gt = (0.1 * rng.randn(n, T, nfeats)).astype(np.float32)
+    gt[..., :4] += 0.5                            # plausible root rows
+    lengths = np.full((n,), T, np.int64)
+    text_emb = rng.randn(n, 1, text_dim).astype(np.float32)
+    z0 = rng.randn(n, latent_size, d).astype(np.float32)
+    captions = [f"a person performs action {i % 7}" for i in range(n)]
+
+    # =================================================== JAX (converted) side
+    from seeme_tpu.eval.t2m_evaluator import T2MEvaluator
+    from seeme_tpu.eval.t2m_metrics import MRMetrics, TM2TMetrics
+    from seeme_tpu.models.t2m import T2MConfig, T2MSystem
+
+    params = convert_mld_checkpoint(mld_sd)
+    cfg = T2MConfig(nfeats=nfeats, max_len=T,
+                    latent_dim=(latent_size, d), ff_size=ff,
+                    num_layers=num_layers, num_heads=1,
+                    vae_ff_size=vae_ff, vae_num_layers=vae_layers,
+                    text_encoded_dim=text_dim, guidance_scale=guidance,
+                    num_inference_timesteps=steps, use_fused=False)
+    system = T2MSystem(cfg)
+    feats_rst_j = np.asarray(system.sample(
+        params, jnp.asarray(text_emb), jax.random.PRNGKey(0),
+        lengths=jnp.asarray(lengths), z_init=jnp.asarray(z0)))
+
+    # evaluator widths inferred from the trio's state dict (released
+    # text_mot_match: 300/15 -> 512 -> 512; fabricated self-test uses
+    # smaller hiddens at the same 300/15 GloVe input contract)
+    text_sd = _sub_sd(t2m_sd, "text_encoder.")
+    move_sd = _sub_sd(t2m_sd, "movement_encoder.")
+    mot_sd = _sub_sd(t2m_sd, "motion_encoder.")
+    word_size, pos_size = text_sd["pos_emb.weight"].shape
+    if (word_size, pos_size) != (300, 15):
+        return float("nan"), (f"text encoder expects ({word_size}, "
+                              f"{pos_size}) inputs, not GloVe 300/POS 15 "
+                              "- skipped")
+    out_size = text_sd["output_net.3.weight"].shape[0]
+    move_in = move_sd["main.0.weight"].shape[1]
+    if move_in != nfeats - 4:
+        return float("nan"), (f"evaluator movement input {move_in} != "
+                              f"nfeats-4 ({nfeats - 4}) - mismatched assets")
+    evaluator = T2MEvaluator(
+        nfeats=nfeats, word_size=word_size, pos_size=pos_size,
+        text_hidden=text_sd["input_emb.weight"].shape[0],
+        move_hidden=move_sd["main.0.weight"].shape[0],
+        move_out=move_sd["main.3.weight"].shape[0],
+        motion_hidden=mot_sd["input_emb.weight"].shape[0],
+        output_size=out_size)
+    evaluator.text_params = convert_t2m_textencoder(text_sd)
+    evaluator.move_params = convert_t2m_movementencoder(move_sd)
+    evaluator.motion_params = convert_t2m_motionencoder(mot_sd)
+    evaluator.is_pretrained = True
+
+    # tokenized ONCE and fed to both text encoders: word-vector parity has
+    # its own genuine-module test (tests/test_parity_reference.py)
+    words, pos, lens = [], [], []
+    for c in captions:
+        w, p, ln = evaluator.vectorizer.tokens_to_arrays(
+            c.split(), evaluator.max_text_len)
+        words.append(w); pos.append(p); lens.append(ln)
+    words = np.stack(words); pos = np.stack(pos)
+    lens = np.asarray(lens, np.int64)
+
+    # the torch-side shuffle (tm2t.py:89 torch.randperm under manual_seed),
+    # replayed into our deterministic hook
+    torch.manual_seed(0)
+    perm = torch.randperm(n)
+
+    tm2t_j = TM2TMetrics(R_size=8, diversity_times=4,
+                         shuffle_idx=perm.numpy())
+    tm2t_j.update(
+        np.asarray(evaluator._embed_text(
+            jnp.asarray(words), jnp.asarray(pos), jnp.asarray(lens))),
+        evaluator.embed_motion(feats_rst_j, lengths),
+        evaluator.embed_motion(gt, lengths),
+    )
+    from seeme_tpu.core.ric import recover_from_ric as ric_j
+
+    joints_rst_j = np.asarray(ric_j(jnp.asarray(feats_rst_j), joints_num))
+    joints_ref_j = np.asarray(ric_j(jnp.asarray(gt), joints_num))
+    mr_j = MRMetrics()
+    mr_j.update(joints_rst_j, joints_ref_j, lengths)
+    metrics_j = {**mr_j.compute(), **tm2t_j.compute()}
+
+    # ==================================================== torch genuine side
+    ablation = SimpleNamespace(MLP_DIST=False, PE_TYPE="mld",
+                               SKIP_CONNECT=True, VAE_TYPE="mld",
+                               DIFF_PE_TYPE="mld", MD_TRANS=False)
+    tvae = ref_vae.MldVae(ablation, nfeats=nfeats,
+                          latent_dim=[latent_size, d],
+                          arch="encoder_decoder",
+                          position_embedding="learned").eval()
+    tvae.load_state_dict(
+        {k[len("vae."):]: v for k, v in mld_sd.items()
+         if k.startswith("vae.")})
+    tden = ref_den.MldDenoiser(
+        ablation, condition="text", latent_dim=[latent_size, d],
+        ff_size=ff, num_layers=num_layers, num_heads=1,
+        text_encoded_dim=text_dim, arch="trans_enc",
+        position_embedding="learned").eval()
+    tden.load_state_dict(den_sd)
+
+    from seeme_tpu.diffusion.schedulers import DiffusionSchedule
+    from seeme_tpu.ops.denoiser_fused import ddim_schedule_arrays
+
+    tsa, acp_t, acp_prev = (np.asarray(a) for a in ddim_schedule_arrays(
+        DiffusionSchedule(), steps))
+    z = torch.from_numpy(z0)                       # init_noise_sigma == 1.0
+    cond2 = torch.from_numpy(
+        np.concatenate([np.zeros_like(text_emb), text_emb], axis=0)
+    ).permute(1, 0, 2)                             # token-first (1, 2n, td)
+    with torch.no_grad():
+        for i in range(steps):
+            (pred,) = tden(torch.cat([z, z], dim=0),
+                           torch.tensor(int(tsa[i])), cond2)
+            eps = pred[:n] + guidance * (pred[n:] - pred[:n])
+            x0 = (z - np.sqrt(1.0 - acp_t[i]) * eps) / np.sqrt(acp_t[i])
+            z = np.sqrt(acp_prev[i]) * x0 + np.sqrt(1.0 - acp_prev[i]) * eps
+        feats_rst_t = tvae.decode(z.permute(1, 0, 2), list(lengths))
+
+        t_text = ref_tenc.TextEncoderBiGRUCo(
+            word_size, pos_size, text_sd["input_emb.weight"].shape[0],
+            out_size).eval()
+        t_text.load_state_dict(text_sd)
+        t_move = ref_menc.MovementConvEncoder(
+            move_in, move_sd["main.0.weight"].shape[0],
+            move_sd["main.3.weight"].shape[0]).eval()
+        t_move.load_state_dict(move_sd)
+        t_mot = ref_menc.MotionEncoderBiGRUCo(
+            move_sd["main.3.weight"].shape[0],
+            mot_sd["input_emb.weight"].shape[0], out_size).eval()
+        t_mot.load_state_dict(mot_sd)
+
+        lat_t = t_text(torch.from_numpy(words), torch.from_numpy(pos),
+                       torch.from_numpy(lens))
+        m_lens = torch.from_numpy(lengths) // 4
+        lat_rm = t_mot(t_move(feats_rst_t[..., :-4]), m_lens)
+        lat_m = t_mot(t_move(torch.from_numpy(gt)[..., :-4]), m_lens)
+
+        tm2t_t = ref_tm2t.TM2TMetrics(top_k=3, R_size=8, diversity_times=4)
+        tm2t_t.update(lat_t, lat_rm, lat_m, list(lengths))
+        torch.manual_seed(0)                       # compute() re-draws perm
+        metrics_t = {k: float(v) for k, v in
+                     tm2t_t.compute(sanity_flag=False).items()}
+
+        j_rst_t = ref_mp.recover_from_ric(feats_rst_t.float(), joints_num)
+        j_ref_t = ref_mp.recover_from_ric(
+            torch.from_numpy(gt).float(), joints_num)
+        mr_t = ref_mr.MRMetrics(njoints=joints_num, jointstype="humanml3d")
+        mr_t.update(j_rst_t, j_ref_t, list(lengths))
+        metrics_t.update({k: float(v) for k, v in
+                          mr_t.compute(sanity_flag=False).items()})
+
+    end_to_end_t2m.last = (metrics_j, metrics_t)  # debug/inspection hook
+    # ---- compare everything both sides report, Diversity excluded
+    compare = [k for k in metrics_t
+               if k in metrics_j and "Diversity" not in k]
+    deltas = {}
+    for k in compare:
+        ref_v, j_v = metrics_t[k], metrics_j[k]
+        deltas[k] = abs(j_v - ref_v) / max(abs(ref_v), 1.0)
+    worst = max(deltas, key=deltas.get)
+    detail = (f"{len(compare)} metrics compared on n={n} seqs, "
+              f"worst {worst}: ours={metrics_j[worst]:.5f} "
+              f"ref={metrics_t[worst]:.5f}")
+    return deltas[worst], detail
+
+
 @dataclass
 class CkptSpec:
     name: str
@@ -712,6 +993,40 @@ def check_datasets(ctx: Ctx) -> None:
                                 + (f"; then {prep}" if prep else "")))
 
 
+def check_end_to_end(ctx: Ctx) -> None:
+    """--end-to-end: composed metric-level parity on the t2m chain (needs
+    the MLD humanml checkpoint + the text_mot_match evaluator trio)."""
+    mld_hits = sorted(glob.glob(
+        os.path.join(ctx.deps, "checkpoints_mld", "*.ckpt")))
+    t2m_hits = sorted(glob.glob(
+        os.path.join(ctx.deps, "t2m", "**", "text_mot_match", "**",
+                     "finest.tar"), recursive=True))
+    if not mld_hits or not t2m_hits:
+        ctx.rows.append(Row(
+            "end-to-end t2m metrics", "MISSING",
+            action="needs deps/checkpoints_mld/*.ckpt + "
+                   "deps/t2m/**/text_mot_match/**/finest.tar"))
+        return
+    if not reference_available():
+        ctx.rows.append(Row("end-to-end t2m metrics", "MISSING",
+                            "/root/reference absent"))
+        return
+    try:
+        err, detail = end_to_end_t2m(_load_sd(mld_hits[0]),
+                                     _load_sd(t2m_hits[0]))
+        if err != err:  # NaN: skipped with a reason in detail
+            ctx.rows.append(Row("end-to-end t2m metrics", "FOUND", detail))
+            return
+        # relative metric deltas: generation + embeddings + metric math
+        # compose ~1e-5 forward errors; 1e-3 catches any real conversion slip
+        status = "PARITY-OK" if err < 1e-3 else "PARITY-FAIL"
+        ctx.rows.append(Row("end-to-end t2m metrics", status,
+                            f"max_rel_delta={err:.2e} {detail}"))
+    except Exception as e:  # noqa: BLE001 — report, don't crash the scan
+        ctx.rows.append(Row("end-to-end t2m metrics", "ERROR",
+                            f"{type(e).__name__}: {e}"))
+
+
 def check_checkpoints(ctx: Ctx) -> None:
     if not reference_available():
         ctx.rows.append(Row("reference tree", "MISSING",
@@ -789,6 +1104,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="converted-checkpoint dir (default <deps>/converted)")
     ap.add_argument("--scan", action="store_true",
                     help="presence scan only: no conversion, no parity")
+    ap.add_argument("--end-to-end", action="store_true",
+                    help="also run composed metric-level parity on the t2m "
+                         "chain (generation -> evaluator -> metric values)")
     args = ap.parse_args(argv)
 
     ctx = Ctx(deps=args.deps, datasets=args.datasets,
@@ -800,6 +1118,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     check_glove(ctx)
     check_datasets(ctx)
     check_checkpoints(ctx)
+    if args.end_to_end:
+        check_end_to_end(ctx)
     return print_table(ctx.rows)
 
 
