@@ -119,9 +119,14 @@ def _probe_backend(
             time.sleep(sleep_s)
 
 
-def main():
-    _probe_backend()
+def measure(batch_size: int = BATCH) -> dict:
+    """One full capture at `batch_size`; returns the result dict.
 
+    The PROTOCOL metric stays batch 64 (the reference eval batch); other
+    batches exist for the deployment-throughput sweep (--sweep), where
+    per-seq cost keeps falling as the M=batch rows fill the 128-row MXU
+    (scripts/DDIM_ROOFLINE.json batch_sweep).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -132,13 +137,13 @@ def main():
     cfg = SeeMeConfig()  # egobody flagship: T=60, nfeats=75, DDIM-50
     smpl = synthetic_smpl(n_verts=6890)
     data = SyntheticEgoDataset(
-        num_samples=BATCH, motion_length=cfg.motion_length,
+        num_samples=batch_size, motion_length=cfg.motion_length,
         scene_points=cfg.scene_points, seed=0,
     )
     system = SeeMeSystem(cfg, smpl, data.mean, data.std)
     params = system.init_params(jax.random.PRNGKey(0))
 
-    batch_np = next(data.batches(BATCH, shuffle=False))
+    batch_np = next(data.batches(batch_size, shuffle=False))
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     # Reference timing window: cond tokens from the *interactee encode* onward
@@ -203,8 +208,8 @@ def main():
     n_chips = len(jax.devices())
     # raw: wall clock as dispatched, including the fixed relay round trip;
     # value: one relay round trip subtracted (documented in BASELINE.md)
-    raw = BATCH * ITERS / best / n_chips
-    value = BATCH * ITERS / max(best - RELAY_S, 1e-9) / n_chips
+    raw = batch_size * ITERS / best / n_chips
+    value = batch_size * ITERS / max(best - RELAY_S, 1e-9) / n_chips
 
     # model FLOPs utilization against the measured matmul roofline. XLA's
     # cost analysis counts a fori_loop body once regardless of trip count, so
@@ -226,7 +231,7 @@ def main():
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         xla_flops = float(cost.get("flops", 0.0)) * ITERS
         kernel_flops = fused_ddim_flops(
-            params["denoiser"], batch=BATCH, n_cond=2,
+            params["denoiser"], batch=batch_size, n_cond=2,
             num_steps=cfg.num_inference_timesteps, num_layers=cfg.num_layers,
             guidance_scale=cfg.guidance_scale,
         ) * ITERS
@@ -249,7 +254,7 @@ def main():
         )
         traceback.print_exc(file=sys.stderr)
 
-    print(json.dumps({
+    return {
         "metric": "sampled_motion_seqs_per_sec_per_chip_ddim50",
         "value": round(value, 2),
         "unit": "seqs/s/chip",
@@ -257,13 +262,50 @@ def main():
         "value_raw": round(raw, 2),
         "timed_calls": TIMED_CALLS,
         "windows_per_call": ITERS,
-        "batch": BATCH,
+        "batch": batch_size,
         "best_s": round(best, 5),
         "median_s": round(med, 5),
         "relay_adjustment_s": RELAY_S,
+        # PRIMARY regression number (BASELINE.md): per-window on-chip time.
+        # The adjusted seqs/s swings +-13% with relay conditions because the
+        # relay round trip is subtracted once per 25-window call; the
+        # per-window quotient dilutes that jitter 25x further.
+        "onchip_window_ms": round((best - RELAY_S) / ITERS * 1e3, 4),
         "mfu_pct": mfu_pct,
         "mfu_pct_xla_visible": mfu_pct_xla,
-    }))
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="batch size for the timing window (protocol: 64)")
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated batch list; measures each, writes "
+                         "scripts/BATCH_SWEEP.json, and prints the one-line "
+                         "JSON for the protocol batch (64) if present, else "
+                         "the first")
+    args = ap.parse_args(argv)
+
+    _probe_backend()
+
+    if args.sweep:
+        batches = [int(b) for b in args.sweep.split(",")]
+        sweep = {}
+        for b in batches:
+            sweep[str(b)] = measure(b)
+            print(f"bench.py sweep: batch {b} -> "
+                  f"{sweep[str(b)]['value']} seqs/s/chip, "
+                  f"window {sweep[str(b)]['onchip_window_ms']} ms",
+                  file=__import__("sys").stderr)
+        with open("scripts/BATCH_SWEEP.json", "w") as f:
+            json.dump(sweep, f, indent=1)
+        primary = sweep.get(str(BATCH)) or sweep[str(batches[0])]
+        print(json.dumps(primary))
+        return
+    print(json.dumps(measure(args.batch)))
 
 
 if __name__ == "__main__":

@@ -37,8 +37,11 @@ def main():
     ap.add_argument("--windows", type=int, default=5,
                     help="dependent windows amortized per jitted call")
     ap.add_argument("--timed", type=int, default=8)
-    ap.add_argument("--ks", default="1,4,8,16",
-                    help="samples-per-grid-step packing factors to sweep")
+    ap.add_argument("--ks", default="1,4,8",
+                    help="samples-per-grid-step packing factors to sweep. "
+                         "At CFG the kernel clamps n_cfg*k*S to the VMEM "
+                         "row budget (denoiser_fused._TOKEN_ROW_BUDGET): "
+                         "k=16 at S=79 would silently re-measure k=8")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="scripts/TOKEN_BENCH.json")
     args = ap.parse_args()

@@ -35,12 +35,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# A/B toggle for the q|k|v weight fusion (read at trace time; fresh process
+# per setting): scripts/ddim_roofline.py measures both.
+import os as _os
+
+QKV_FUSE = _os.environ.get("SEEME_QKV_FUSE", "0") == "1"
+# Diagnostic ONLY (breaks numerics): replace every layernorm/softmax in the
+# T=1 fused path with cheap elementwise stand-ins of identical shape, so a
+# measured run isolates Mosaic's matmul-chain time from the VPU chain
+# (BASELINE.md roofline section). Never set outside scripts/qkv_ab.py runs.
+ABLATE_VPU = _os.environ.get("SEEME_ABLATE_VPU", "0") == "1"
+
+
 # --------------------------------------------------------------- pure forward
 
 def _layer_norm(x, scale, bias, eps=1e-5):  # matches flax/torch LayerNorm eps
+    if ABLATE_VPU:  # diagnostic: same shapes/dtypes, no reductions
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _softmax(x, axis=-1):
+    if ABLATE_VPU:  # diagnostic: no exp/reduce, magnitude roughly bounded
+        return x * (1.0 / x.shape[axis])
+    return jax.nn.softmax(x, axis=axis)
+    # NOTE round-5 A/B (scripts/QKV_AB.json): moving the LN mean/var and the
+    # wide-softmax lane-sum onto the MXU as (R, D)x(D, 1) matmuls measured
+    # EXACTLY the full kernel's 2.89 ms at B=64 — while ablating the ops
+    # outright gives 2.21 ms. The ~0.6 ms/window is the SERIAL DEPENDENCY
+    # latency of ~31 norm/softmax points per step, not reduce-tree
+    # throughput: it is paid on whichever unit computes them, so the plain
+    # VPU forms stay (simplest, bit-closest to the scan).
 
 
 def _dense(p, x):
@@ -80,9 +107,17 @@ def _mha_1head(p, x, key_mask_add=None):
     the (B, S) -> (1, B*S) reshape is a sublane->lane shape cast Mosaic
     cannot lower, so kernel callers flatten XLA-side."""
     B, S, D = x.shape
-    q = _dense(p["q_proj"], x).reshape(B * S, D)
-    k = _dense(p["k_proj"], x).reshape(B * S, D)
-    v = _dense(p["v_proj"], x).reshape(B * S, D)
+    if "qkv_proj" in p:
+        # pre-fused q|k|v kernel (`_fuse_qkv`): one (B*S, D)x(D, 3D) MXU op
+        # instead of three — identical per-column accumulation
+        qkv = _dense(p["qkv_proj"], x).reshape(B * S, 3 * D)
+        q = jax.lax.slice_in_dim(qkv, 0, D, axis=1)
+        k = jax.lax.slice_in_dim(qkv, D, 2 * D, axis=1)
+        v = jax.lax.slice_in_dim(qkv, 2 * D, 3 * D, axis=1)
+    else:
+        q = _dense(p["q_proj"], x).reshape(B * S, D)
+        k = _dense(p["k_proj"], x).reshape(B * S, D)
+        v = _dense(p["v_proj"], x).reshape(B * S, D)
     logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(D)
     row = _block_ids(B * S, S)
     logits = jnp.where(row == row.T, logits, -1e9)
@@ -148,6 +183,15 @@ def md_step_invariants(p_enc, xf, num_layers: int,
             "ca_key": jax.nn.softmax(_dense(ca["key"], xfn), axis=1),
             "ca_value": _dense(ca["value"], xfn),
         }
+        # Pre-fused q|k|v (`_fuse_qkv_md`): the T=1 layer then runs ONE
+        # (B, D)x(D, 3D) matmul per step instead of three (B, D)x(D, D) —
+        # identical math, fewer small-matmul issues. Only consumed when the
+        # caller fused XLA-side: Mosaic cannot build the concat in-kernel
+        # (lane offsets past the first tile), and the fallback three-matmul
+        # path stays available for the measured A/B (SEEME_QKV_FUSE=0).
+        if "qkv_proj" in sa:
+            d["qkv_w"] = sa["qkv_proj"]["kernel"]
+            d["qkv_b"] = sa["qkv_proj"]["bias"]      # (1, 3D)
         if time_tokens is not None:
             se = jax.nn.silu(time_tokens)
             d["k_emb"] = _dense(sa["k_proj"], time_tokens)            # (S, D)
@@ -191,14 +235,25 @@ def _md_layer_t1(p, x, inv, emb=None):
         ca_eo = _dense(p["ca_block"]["proj_out"]["emb_linear"], se)
         ffn_eo = _dense(p["ffn"]["proj_out"]["emb_linear"], se)
 
-    q_x = _dense(sa["q_proj"], x)                         # (B, 1, D)
-    k_x = _dense(sa["k_proj"], x)
-    v_x = _dense(sa["v_proj"], x)
+    if "qkv_w" in inv:
+        w = inv["qkv_w"]
+        qkv = jnp.dot(
+            x.reshape(-1, D).astype(w.dtype), w,
+            preferred_element_type=jnp.float32,
+        ) + inv["qkv_b"].astype(jnp.float32)
+        qkv = qkv.reshape(x.shape[0], 1, 3 * D)
+        q_x = jax.lax.slice_in_dim(qkv, 0, D, axis=2)
+        k_x = jax.lax.slice_in_dim(qkv, D, 2 * D, axis=2)
+        v_x = jax.lax.slice_in_dim(qkv, 2 * D, 3 * D, axis=2)
+    else:
+        q_x = _dense(sa["q_proj"], x)                     # (B, 1, D)
+        k_x = _dense(sa["k_proj"], x)
+        v_x = _dense(sa["v_proj"], x)
     l_x = jnp.sum(q_x * k_x, axis=-1)                     # (B, 1)
     l_f = jnp.sum(q_x * inv["k_xf"], axis=-1)             # (B, N)
     l_e = jnp.sum(q_x[:, 0] * k_e, axis=-1, keepdims=True)
     logits = jnp.concatenate([l_x, l_f, l_e], axis=1) / math.sqrt(D)
-    attn = jax.nn.softmax(logits, axis=-1)                # (B, 1+N+1)
+    attn = _softmax(logits, axis=-1)                      # (B, 1+N+1)
     N = inv["k_xf"].shape[1]
     # explicit slices: mixed slice+newaxis indexing lowers through gather,
     # which Mosaic TPU rejects
@@ -215,7 +270,7 @@ def _md_layer_t1(p, x, inv, emb=None):
 
     ca = p["ca_block"]
     xn = _layer_norm(x, ca["norm"]["scale"], ca["norm"]["bias"])
-    query = jax.nn.softmax(_dense(ca["query"], xn), axis=-1)   # (B, 1, D)
+    query = _softmax(_dense(ca["query"], xn), axis=-1)         # (B, 1, D)
     w = jnp.sum(query * inv["ca_key"], axis=-1)                # (B, N)
     y = jnp.sum(w[..., None] * inv["ca_value"], axis=1, keepdims=True)
     x = x + _stylization_eo(ca["proj_out"], y, ca_eo)
@@ -379,6 +434,66 @@ def denoiser_apply_pure(params: Dict, x: jnp.ndarray, timesteps: jnp.ndarray,
 
 # ------------------------------------------------------------- fused sampling
 
+def _fuse_qkv(params: Dict) -> Dict:
+    """Param-tree copy with every plain encoder layer's q/k/v projections
+    concatenated into one `qkv_proj` (originals dropped): the fused kernels
+    then run one (M, D)x(D, 3D) matmul per layer per step instead of three
+    (M, D)x(D, D) — same math, a third of the small-matmul fill/setup
+    stalls. Only used for the md_trans=False (token-concat) kernels; the
+    T=1 MD path gets the same fusion via `md_step_invariants` qkv_w."""
+    p = dict(params)
+    pp = dict(p["params"])
+    enc = dict(pp["encoder"])
+    for name, layer in list(enc.items()):
+        if not isinstance(layer, dict) or "self_attn" not in layer:
+            continue
+        sa = dict(layer["self_attn"])
+        if not {"q_proj", "k_proj", "v_proj"} <= sa.keys():
+            continue
+        sa["qkv_proj"] = {
+            "kernel": jnp.concatenate(
+                [sa["q_proj"]["kernel"], sa["k_proj"]["kernel"],
+                 sa["v_proj"]["kernel"]], axis=1),
+            "bias": jnp.concatenate(
+                [sa["q_proj"]["bias"], sa["k_proj"]["bias"],
+                 sa["v_proj"]["bias"]]),
+        }
+        for k in ("q_proj", "k_proj", "v_proj"):
+            del sa[k]
+        enc[name] = dict(layer, self_attn=sa)
+    pp["encoder"] = enc
+    p["params"] = pp
+    return p
+
+
+def _fuse_qkv_md(params: Dict) -> Dict:
+    """Like `_fuse_qkv` but for MD stylization layers (sa_block.self_attn),
+    ADDING `qkv_proj` while keeping q/k/v: the in-kernel
+    `md_step_invariants` still projects the xf/time tokens with the
+    separate k/v kernels, and Mosaic cannot build the concat in-kernel
+    (lane offsets past the first tile), so it ships pre-fused from XLA."""
+    p = dict(params)
+    pp = dict(p["params"])
+    enc = dict(pp["encoder"])
+    for name, layer in list(enc.items()):
+        if not isinstance(layer, dict) or "sa_block" not in layer:
+            continue
+        sa = dict(layer["sa_block"]["self_attn"])
+        sa["qkv_proj"] = {
+            "kernel": jnp.concatenate(
+                [sa["q_proj"]["kernel"], sa["k_proj"]["kernel"],
+                 sa["v_proj"]["kernel"]], axis=1),
+            "bias": jnp.concatenate(
+                [sa["q_proj"]["bias"], sa["k_proj"]["bias"],
+                 sa["v_proj"]["bias"]])[None],
+        }
+        enc[name] = dict(layer, sa_block=dict(
+            layer["sa_block"], self_attn=sa))
+    pp["encoder"] = enc
+    p["params"] = pp
+    return p
+
+
 def _fused_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
                           md_trans=True, unroll=False):
     do_cfg = guidance_scale > 1.0
@@ -498,6 +613,11 @@ def ddim_fused(
     the per-step math matches `DiffusionSchedule.ddim_step` with
     clip_sample=False.
     """
+    # q|k|v pre-fused XLA-side, once per window (Mosaic cannot concat
+    # weight tiles in-kernel)
+    if QKV_FUSE:
+        denoiser_params = (_fuse_qkv_md(denoiser_params) if md_trans
+                           else _fuse_qkv(denoiser_params))
     leaves, treedef = jax.tree.flatten(denoiser_params)
     leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
 
@@ -667,9 +787,13 @@ def ddim_fused_grid(
 
     # ---- XLA-side per-window precompute (f32)
     cond_p, time_tokens = _window_precompute(dp, cond, z0.shape[-1], timesteps)
+    if QKV_FUSE:
+        dp = _fuse_qkv_md(denoiser_params)["params"]
     full_inv = md_step_invariants(dp["encoder"], cond_p, num_layers,
                                   time_tokens=time_tokens)
-    inv_static = {n: {k: d[k] for k in ("k_xf", "v_xf", "ca_key", "ca_value")}
+    static_keys = ("k_xf", "v_xf", "ca_key", "ca_value") + (
+        ("qkv_w", "qkv_b") if QKV_FUSE else ())
+    inv_static = {n: {k: d[k] for k in static_keys}
                   for n, d in full_inv.items()}
     step_rows = {n: {k: d[k] for k in ("k_emb", "v_emb", "ca_eo", "ffn_eo")}
                  for n, d in full_inv.items()}
@@ -875,6 +999,8 @@ def ddim_fused_tokens(
 
     z0p = jnp.pad(z0, ((0, Bp - B), (0, 0), (0, 0)))
 
+    if QKV_FUSE:
+        denoiser_params = _fuse_qkv(denoiser_params)  # fused per window
     leaves, treedef = jax.tree.flatten(denoiser_params)
     leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
     kernel = _token_kernel_factory(
