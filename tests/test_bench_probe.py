@@ -80,3 +80,36 @@ def test_probe_recovers_after_transient_failures(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: seq.pop(0))
     bench._probe_backend(budget_s=60.0, retry_every_s=0.01)
     assert not seq  # both attempts consumed; second succeeded
+
+
+def test_sweep_writes_artifact_and_prints_protocol_batch(
+        bench, monkeypatch, tmp_path, capsys):
+    """--sweep measures each batch, writes scripts/BATCH_SWEEP.json, and the
+    stdout JSON line is the protocol batch (64) when present."""
+    import json
+
+    monkeypatch.setattr(bench, "_probe_backend", lambda **kw: None)
+    monkeypatch.setattr(
+        bench, "measure",
+        lambda b: {"metric": "m", "value": float(b), "unit": "u",
+                   "vs_baseline": 1.0, "batch": b,
+                   "onchip_window_ms": 2.0},
+    )
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "scripts").mkdir()
+    bench.main(["--sweep", "512,64"])
+    out = capsys.readouterr().out.strip().splitlines()
+    line = json.loads(out[-1])
+    assert line["batch"] == 64  # protocol batch wins regardless of order
+    sweep = json.loads((tmp_path / "scripts" / "BATCH_SWEEP.json").read_text())
+    assert set(sweep) == {"64", "512"}
+    assert sweep["512"]["value"] == 512.0
+
+
+def test_default_run_prints_measure_result(bench, monkeypatch, capsys):
+    import json
+
+    monkeypatch.setattr(bench, "_probe_backend", lambda **kw: None)
+    monkeypatch.setattr(bench, "measure", lambda b: {"batch": b, "value": 1.0})
+    bench.main([])
+    assert json.loads(capsys.readouterr().out.strip())["batch"] == 64
