@@ -57,17 +57,17 @@ def _layer_norm(x, scale, bias, eps=1e-5):  # matches flax/torch LayerNorm eps
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+# Round-5 A/B (scripts/QKV_AB.json): moving the LN mean/var and the wide-
+# softmax lane-sum onto the MXU as (R, D)x(D, 1) matmuls measured EXACTLY
+# the full kernel's 2.89 ms at B=64 — while ablating the ops outright gives
+# 2.21 ms. The ~0.6 ms/window is the SERIAL DEPENDENCY latency of ~31
+# norm/softmax points per step, not reduce-tree throughput: it is paid on
+# whichever unit computes them, so the plain VPU forms stay (simplest,
+# bit-closest to the scan).
 def _softmax(x, axis=-1):
     if ABLATE_VPU:  # diagnostic: no exp/reduce, magnitude roughly bounded
         return x * (1.0 / x.shape[axis])
     return jax.nn.softmax(x, axis=axis)
-    # NOTE round-5 A/B (scripts/QKV_AB.json): moving the LN mean/var and the
-    # wide-softmax lane-sum onto the MXU as (R, D)x(D, 1) matmuls measured
-    # EXACTLY the full kernel's 2.89 ms at B=64 — while ablating the ops
-    # outright gives 2.21 ms. The ~0.6 ms/window is the SERIAL DEPENDENCY
-    # latency of ~31 norm/softmax points per step, not reduce-tree
-    # throughput: it is paid on whichever unit computes them, so the plain
-    # VPU forms stay (simplest, bit-closest to the scan).
 
 
 def _dense(p, x):
