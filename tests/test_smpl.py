@@ -163,8 +163,14 @@ def test_load_smpl_pkl_without_chumpy(tmp_path):
             "posedirs": rng.randn(V, 3, 207),
             "J_regressor": sp.csc_matrix(np.abs(rng.rand(24, V))),
             "weights": make_ch(np.abs(rng.rand(V, 24))),
+            # the canonical SMPL tree (root parent stored as uint32 -1, as in
+            # the official pkls) — FK is specialized to this table and rejects
+            # non-standard trees (core/smpl.py::_rigid_transforms)
             "kintree_table": np.vstack(
-                [np.concatenate([[4294967295], np.zeros(23, np.int64)]), np.arange(24)]
+                [
+                    np.where(PARENTS < 0, 4294967295, PARENTS).astype(np.int64),
+                    np.arange(24),
+                ]
             ),
             "f": rng.randint(0, V, (10, 3)),
         }
