@@ -18,6 +18,7 @@ judge can recompute when a measured reference lands.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_REFERENCE_SEQS_PER_SEC = 1000.0  # documented estimate, see module docstring
@@ -29,6 +30,10 @@ WARMUP = 2
 ITERS = 25       # sampling windows fused inside one jitted program
 TIMED_CALLS = 10  # outer timed dispatches (>= 10 per BASELINE.md protocol)
 RELAY_S = 0.032   # measured fixed axon-relay round trip, subtracted for `value`
+# --sweep artifact, anchored to the repo (not cwd) so running bench.py from
+# anywhere cannot lose a multi-minute sweep to a missing relative dir
+SWEEP_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "BATCH_SWEEP.json")
 # measured matmul roofline on this chip through the relay (BASELINE.md);
 # the MFU denominator, NOT the v5e datasheet peak
 MEASURED_PEAK_FLOPS = 173e12
@@ -270,7 +275,7 @@ def measure(batch_size: int = BATCH) -> dict:
         # The adjusted seqs/s swings +-13% with relay conditions because the
         # relay round trip is subtracted once per 25-window call; the
         # per-window quotient dilutes that jitter 25x further.
-        "onchip_window_ms": round((best - RELAY_S) / ITERS * 1e3, 4),
+        "onchip_window_ms": round(max(best - RELAY_S, 1e-9) / ITERS * 1e3, 4),
         "mfu_pct": mfu_pct,
         "mfu_pct_xla_visible": mfu_pct_xla,
     }
@@ -300,10 +305,12 @@ def main(argv=None):
                   f"{sweep[str(b)]['value']} seqs/s/chip, "
                   f"window {sweep[str(b)]['onchip_window_ms']} ms",
                   file=__import__("sys").stderr)
-        with open("scripts/BATCH_SWEEP.json", "w") as f:
-            json.dump(sweep, f, indent=1)
+        # Print the protocol JSON line BEFORE writing the artifact: the
+        # one-line stdout contract must survive an unwritable artifact path.
         primary = sweep.get(str(BATCH)) or sweep[str(batches[0])]
         print(json.dumps(primary))
+        with open(SWEEP_ARTIFACT, "w") as f:
+            json.dump(sweep, f, indent=1)
         return
     print(json.dumps(measure(args.batch)))
 

@@ -60,10 +60,19 @@ def main():
            "variant": variant, "batch": B,
            "guidance": guidance, "ms": best * 1e3,
            "stamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    path = "scripts/QKV_AB.json"
-    rows = json.load(open(path)) if os.path.exists(path) else []
+    # anchor to the repo (not cwd) and never lose a measured row to a
+    # truncated existing file or a mid-write crash
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "QKV_AB.json")
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        rows = []
     rows.append(row)
-    json.dump(rows, open(path, "w"), indent=1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=1)
+    os.replace(tmp, path)
     print(json.dumps(row))
 
 

@@ -24,7 +24,11 @@ for i in $(seq 1 36); do
 done
 
 log "job 1: regen_r5 (tpu_uestc)"
-timeout 5400 bash scripts/regen_r5.sh >> "$LOG" 2>&1
+# NOTE: the outer budget must exceed the chain's own per-stage budgets
+# (regen_r5.sh uestc_chain sums to ~10200s) — an outer timeout shorter than
+# that SIGKILLs the chain mid-stage, writes no stage marker, and can leave
+# an orphaned python holding the chip while jobs 2-3 start.
+timeout 10800 bash scripts/regen_r5.sh >> "$LOG" 2>&1
 log "regen rc=$?"
 
 log "job 2: token_bench (packed k sweep, VERDICT r4 #8)"

@@ -95,13 +95,16 @@ def test_sweep_writes_artifact_and_prints_protocol_batch(
                    "vs_baseline": 1.0, "batch": b,
                    "onchip_window_ms": 2.0},
     )
-    monkeypatch.chdir(tmp_path)
-    (tmp_path / "scripts").mkdir()
+    # artifact path is repo-anchored (not cwd-relative); patch it into the
+    # tmp tree so the test never touches the real scripts/BATCH_SWEEP.json
+    monkeypatch.chdir(tmp_path)  # proves cwd doesn't matter
+    artifact = tmp_path / "BATCH_SWEEP.json"
+    monkeypatch.setattr(bench, "SWEEP_ARTIFACT", str(artifact))
     bench.main(["--sweep", "512,64"])
     out = capsys.readouterr().out.strip().splitlines()
     line = json.loads(out[-1])
     assert line["batch"] == 64  # protocol batch wins regardless of order
-    sweep = json.loads((tmp_path / "scripts" / "BATCH_SWEEP.json").read_text())
+    sweep = json.loads(artifact.read_text())
     assert set(sweep) == {"64", "512"}
     assert sweep["512"]["value"] == 512.0
 
