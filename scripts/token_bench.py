@@ -1,11 +1,15 @@
-"""Measure the 77-token (clip_hidden/bert) sampling window: XLA scan vs the
-sample-grid fused kernel (`ops/denoiser_fused.ddim_fused_tokens`).
+"""Measure the 77-token (clip_hidden/bert) sampling window — the XLA scan,
+which is the framework's (only) token-mode route.
 
-The pooled-token fused kernel measured 4.3x over the scan (BASELINE.md), but
-its n_cond <= 8 gate excluded the token-sequence text modes; this script
-closes VERDICT r3 weak #5 with numbers: the token modes' per-step arithmetic
-is ~200x the pooled path's, so the scan's fixed per-step dispatch overhead
-amortizes differently — measure both and record the verdict.
+History: a sample-grid Pallas kernel for the token modes (built round 4,
+multi-sample packing added round 5) measured 0.72x the scan at k=1 and
+monotonically worse with packing (2026-08-19 capture, B=32/guidance 7.5:
+scan 18.7 vs fused 25.9/29.3/32.6 ms/window at k=1/4/8 — the packed
+attention is a dense masked (n_cfg*k*S)^2 block, so attention flops grow
+~k-fold, and the 79-token per-step compute already amortizes the scan's
+dispatch overhead). The kernel was deleted with that measurement as the
+decision record (BASELINE.md "Long-conditioning"); this script keeps the
+scan serving number reproducible.
 
 Usage (needs the TPU relay; CPU-only sanity with --cpu):
     python scripts/token_bench.py [--batch 32] [--n_cond 77] [--out PATH]
@@ -37,13 +41,9 @@ def main():
     ap.add_argument("--windows", type=int, default=5,
                     help="dependent windows amortized per jitted call")
     ap.add_argument("--timed", type=int, default=8)
-    ap.add_argument("--ks", default="1,4,8",
-                    help="samples-per-grid-step packing factors to sweep. "
-                         "At CFG the kernel clamps n_cfg*k*S to the VMEM "
-                         "row budget (denoiser_fused._TOKEN_ROW_BUDGET): "
-                         "k=16 at S=79 would silently re-measure k=8")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--out", default="scripts/TOKEN_BENCH.json")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "TOKEN_BENCH.json"))
     args = ap.parse_args()
 
     import jax
@@ -54,10 +54,8 @@ def main():
 
     from seeme_tpu.diffusion import DiffusionSchedule
     from seeme_tpu.models import Denoiser
-    from seeme_tpu.ops import denoiser_fused as df
 
     B, N, NS, G = args.batch, args.n_cond, args.steps, args.guidance
-    ks = [int(k) for k in args.ks.split(",") if k]
     D = 256
     den = Denoiser(nfeats=75, md_trans=False, text_encoded_dim=768)
     rng = np.random.RandomState(0)
@@ -71,7 +69,6 @@ def main():
     cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
     mask2 = jnp.concatenate([mask, mask], axis=0)
     sched = DiffusionSchedule()
-    tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
 
     def scan_window(z_seed):
         # ddim_sample's body verbatim (`diffusion/sampling.py:24-64`) but
@@ -93,69 +90,37 @@ def main():
         z, _ = jax.lax.scan(body, z_seed, timesteps)
         return z
 
-    def fused_window_k(k):
-        def fused_window(z_seed):
-            return df.ddim_fused_tokens(
-                params, cond2 if G > 1.0 else cond, z_seed, tsa, acp_t,
-                acp_prev, cond_mask=mask2 if G > 1.0 else mask,
-                num_steps=NS, guidance_scale=G, samples_per_step=k,
-                interpret=args.cpu)  # CPU sanity: Pallas interpret only
+    @jax.jit
+    def run(z):
+        def body(z, _):
+            # window output seeds the next window: dependent chaining so
+            # the ~32 ms relay round trip amortizes across windows
+            return scan_window(z), None
 
-        return fused_window
-
-    def amortized(window_fn):
-        @jax.jit
-        def run(z):
-            def body(z, _):
-                # window output seeds the next window: dependent chaining so
-                # the ~32 ms relay round trip amortizes across windows
-                return window_fn(z), None
-
-            z, _ = jax.lax.scan(body, z, None, length=args.windows)
-            return z
-
-        return run
+        z, _ = jax.lax.scan(body, z, None, length=args.windows)
+        return z
 
     results = {"batch": B, "n_cond": N, "steps": NS, "guidance": G,
                "windows_per_call": args.windows,
                "backend": jax.default_backend()}
 
-    variants = [("scan", scan_window)]
-    # sweep the samples-per-grid-step packing factor: k=1 is the round-4
-    # sample-serial kernel (measured 0.72x the scan); larger k raises the
-    # matmul row count M = n_cfg*k*(n_tok+1+n_cond) toward MXU occupancy
-    for k in ks:
-        variants.append((f"fused_tokens_k{k}", fused_window_k(k)))
-    for name, fn in variants:
-        run = amortized(fn)
-        out = run(z0)
-        float(jnp.sum(out))  # compile + sync on a scalar (relay protocol)
-        times = []
-        for _ in range(args.timed):
-            t0 = time.perf_counter()
-            float(jnp.sum(run(z0)))
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        per_window_ms = best / args.windows * 1e3
-        results[name] = {
-            "best_call_s": best,
-            "per_window_ms": per_window_ms,
-            "seqs_per_s": B / (best / args.windows),
-        }
-        print(f"{name}: {per_window_ms:.2f} ms/window "
-              f"({results[name]['seqs_per_s']:.0f} seqs/s) "
-              f"best-of-{args.timed}, {args.windows} windows/call")
-
-    best_k, best_ms = None, None
-    for k in ks:
-        ms = results[f"fused_tokens_k{k}"]["per_window_ms"]
-        if best_ms is None or ms < best_ms:
-            best_k, best_ms = k, ms
-    if best_k is not None:
-        results["best_k"] = best_k
-        results["speedup"] = results["scan"]["per_window_ms"] / best_ms
-        print(f"best fused k={best_k}: "
-              f"{results['speedup']:.2f}x vs scan")
+    out = run(z0)
+    float(jnp.sum(out))  # compile + sync on a scalar (relay protocol)
+    times = []
+    for _ in range(args.timed):
+        t0 = time.perf_counter()
+        float(jnp.sum(run(z0)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    per_window_ms = best / args.windows * 1e3
+    results["scan"] = {
+        "best_call_s": best,
+        "per_window_ms": per_window_ms,
+        "seqs_per_s": B / (best / args.windows),
+    }
+    print(f"scan: {per_window_ms:.2f} ms/window "
+          f"({results['scan']['seqs_per_s']:.0f} seqs/s) "
+          f"best-of-{args.timed}, {args.windows} windows/call")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

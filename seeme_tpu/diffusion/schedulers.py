@@ -62,6 +62,12 @@ class DiffusionSchedule:
     prediction_type: str = "epsilon"  # 'epsilon' | 'sample'
     # derived
     alphas_cumprod: jnp.ndarray = field(init=False, repr=False)
+    # host-side copy: schedule constants must be readable WITHOUT a
+    # device->host transfer (the axon relay's d2h path can fail transiently
+    # with FAILED_PRECONDITION; np.asarray(alphas_cumprod) killed a bench
+    # sweep that way). Host consumers (ddim_schedule_arrays, respacing)
+    # read this; traced code keeps the jnp twin for tracer indexing.
+    alphas_cumprod_np: np.ndarray = field(init=False, repr=False)
     betas: jnp.ndarray = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -71,6 +77,7 @@ class DiffusionSchedule:
         acp = np.cumprod(1.0 - betas)
         object.__setattr__(self, "betas", jnp.asarray(betas, jnp.float32))
         object.__setattr__(self, "alphas_cumprod", jnp.asarray(acp, jnp.float32))
+        object.__setattr__(self, "alphas_cumprod_np", acp.astype(np.float32))
 
     # diffusers DDPMScheduler.init_noise_sigma == DDIMScheduler.init_noise_sigma == 1.0
     init_noise_sigma: float = 1.0
@@ -205,18 +212,20 @@ def respaced_schedule(
 
     Returns (schedule, timestep_map): the sampler iterates 0..len-1 over the
     new schedule while the model is called with timestep_map[t]."""
-    acp = np.asarray(base.alphas_cumprod)
+    acp = base.alphas_cumprod_np  # host copy: no d2h through the relay
     use = np.asarray(sorted(use_timesteps))
     new_acp = acp[use]
     prev = np.concatenate([[1.0], new_acp[:-1]])
     new_betas = 1.0 - new_acp / prev
+    new_acp_full = np.cumprod(1.0 - new_betas)
     sched = object.__new__(DiffusionSchedule)
     for f in ("beta_start", "beta_end", "beta_schedule", "clip_sample",
               "set_alpha_to_one", "steps_offset", "prediction_type"):
         object.__setattr__(sched, f, getattr(base, f))
     object.__setattr__(sched, "num_train_timesteps", len(use))
     object.__setattr__(sched, "betas", jnp.asarray(new_betas, jnp.float32))
-    object.__setattr__(sched, "alphas_cumprod", jnp.asarray(np.cumprod(1.0 - new_betas), jnp.float32))
+    object.__setattr__(sched, "alphas_cumprod", jnp.asarray(new_acp_full, jnp.float32))
+    object.__setattr__(sched, "alphas_cumprod_np", new_acp_full.astype(np.float32))
     return sched, use
 
 

@@ -42,16 +42,15 @@ class T2MConfig:
     # fused Pallas sampling on TPU; disable for bit-faithful scan sampling
     # (guidance amplifies the bf16 weight-storage rounding ~linearly)
     use_fused: bool = True
-    # 77-token clip_hidden/bert modes: the sample-grid kernel
-    # (`ddim_fused_tokens`) at 1 sample/grid-step measured 0.72x the XLA
-    # scan on real TPU (scripts/TOKEN_BENCH.json, batch 32: 25.7 vs 18.4
-    # ms/window) — the grid serialized samples at M = n_cfg*79 = 158-row
-    # matmuls while the scan batched all samples. The kernel now packs
-    # `fused_tokens_samples` samples per grid step (M = n_cfg*k*79 rows);
-    # the scan stays the default until the packed variant is re-measured
-    # on-relay (scripts/token_bench.py).
-    use_fused_tokens: bool = False
-    fused_tokens_samples: int = 8
+    # 77-token clip_hidden/bert modes always sample via the XLA scan: a
+    # sample-grid Pallas kernel (built round 4, multi-sample packing added
+    # round 5) measured 0.72x the scan at k=1 and monotonically WORSE with
+    # packing (scripts/TOKEN_BENCH.json, B=32/guidance 7.5: scan 18.7 vs
+    # fused 25.9/29.3/32.6 ms at k=1/4/8 — packed attention is a dense
+    # masked (n_cfg*k*S)^2 block, so its flops grow ~k-fold while the
+    # 79-token per-step compute already amortizes the scan's dispatch
+    # overhead). The kernel was deleted with that measurement as the
+    # decision record (BASELINE.md "Long-conditioning").
     # VAE_TYPE: 'mld' (latent diffusion) or 'no' (diffusion directly over
     # per-frame features — `config_novae_humanml3d.yaml`, `mld.py:935-946`)
     vae_type: str = "mld"
@@ -225,14 +224,14 @@ class T2MSystem:
             )
 
         shape = (B, cfg.latent_dim[0], cfg.latent_dim[1])
+        # token modes (cond_mask set / >8 cond tokens) always take the XLA
+        # scan — measured faster than every fused variant (T2MConfig note)
         pooled_cond = cond.shape[1] <= 8 and cond_mask is None
-        use_fused = cfg.use_fused and jax.default_backend() != "cpu" and (
-            pooled_cond or cfg.use_fused_tokens
-        )
+        use_fused = (cfg.use_fused and pooled_cond
+                     and jax.default_backend() != "cpu")
         if use_fused:
             # whole (CFG) reverse process in one VMEM-resident Pallas kernel
-            from ..ops.denoiser_fused import (
-                ddim_fused, ddim_fused_tokens, ddim_schedule_arrays)
+            from ..ops.denoiser_fused import ddim_fused, ddim_schedule_arrays
 
             rng, init_rng = jax.random.split(rng)
             z0 = (jnp.asarray(z_init, jnp.float32) if z_init is not None
@@ -241,29 +240,15 @@ class T2MSystem:
             tsa, acp_t, acp_prev = ddim_schedule_arrays(
                 self.schedule, cfg.num_inference_timesteps
             )
-            if pooled_cond:
-                # pooled-token modes: per-layer cond projections hoisted
-                # into VMEM once per window (`ddim_fused`)
-                z = ddim_fused(
-                    params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
-                    num_steps=cfg.num_inference_timesteps,
-                    num_layers=cfg.num_layers,
-                    guidance_scale=cfg.guidance_scale,
-                    md_trans=False,
-                )
-            else:
-                # 77-token clip_hidden/bert modes (padded + masked): the
-                # sample-grid kernel — each grid step owns a k-sample group's
-                # full reverse process (hoisting ~100 MB of per-layer cond
-                # invariants is ruinous). Opt-in via cfg.use_fused_tokens.
-                z = ddim_fused_tokens(
-                    params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
-                    cond_mask=cond_mask,
-                    num_steps=cfg.num_inference_timesteps,
-                    num_layers=cfg.num_layers,
-                    guidance_scale=cfg.guidance_scale,
-                    samples_per_step=cfg.fused_tokens_samples,
-                )
+            # pooled-token modes: per-layer cond projections hoisted
+            # into VMEM once per window (`ddim_fused`)
+            z = ddim_fused(
+                params["denoiser"], cond, z0, tsa, acp_t, acp_prev,
+                num_steps=cfg.num_inference_timesteps,
+                num_layers=cfg.num_layers,
+                guidance_scale=cfg.guidance_scale,
+                md_trans=False,
+            )
         else:
 
             def denoiser_fn(x, t, step_rng):

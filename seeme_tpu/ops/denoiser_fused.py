@@ -468,10 +468,14 @@ def _fuse_qkv(params: Dict) -> Dict:
 
 def _fuse_qkv_md(params: Dict) -> Dict:
     """Like `_fuse_qkv` but for MD stylization layers (sa_block.self_attn),
-    ADDING `qkv_proj` while keeping q/k/v: the in-kernel
+    ADDING `qkv_proj` while keeping k/v: the in-kernel
     `md_step_invariants` still projects the xf/time tokens with the
     separate k/v kernels, and Mosaic cannot build the concat in-kernel
-    (lane offsets past the first tile), so it ships pre-fused from XLA."""
+    (lane offsets past the first tile), so it ships pre-fused from XLA.
+    `q_proj` has no remaining reader once `qkv_proj` exists (the T=1 layer
+    takes the fused branch), so it is dropped — otherwise every fused
+    window ships num_layers dead DxD bf16 matrices into the VMEM-resident
+    leaf set."""
     p = dict(params)
     pp = dict(p["params"])
     enc = dict(pp["encoder"])
@@ -487,6 +491,7 @@ def _fuse_qkv_md(params: Dict) -> Dict:
                 [sa["q_proj"]["bias"], sa["k_proj"]["bias"],
                  sa["v_proj"]["bias"]])[None],
         }
+        del sa["q_proj"]
         enc[name] = dict(layer, sa_block=dict(
             layer["sa_block"], self_attn=sa))
     pp["encoder"] = enc
@@ -840,217 +845,12 @@ def ddim_fused_grid(
     )
 
 
-def _token_kernel_factory(treedef, num_steps, num_layers, guidance_scale,
-                          n_cfg, k):
-    do_cfg = n_cfg == 2
-
-    def kernel(acp_ref, acp_prev_ref, z_ref, cond_ref, mask_ref, tt_ref,
-               *refs):
-        param_refs = refs[:-1]
-        out_ref = refs[-1]
-        params = jax.tree.unflatten(treedef, [r[...] for r in param_refs])
-        z0 = z_ref[...].astype(jnp.float32)            # (k, n_tok, D)
-        cond = cond_ref[...].astype(jnp.float32)        # (1, n_cfg*k, N, D)
-        # rows are XLA-side pre-ordered [uncond x k; cond x k] so the only
-        # in-kernel reshape collapses leading dims (free under Mosaic)
-        cond = cond.reshape(cond.shape[1:])             # (n_cfg*k, N, D)
-        S = z0.shape[1] + 1 + cond.shape[1]
-        # mask_ref block is (1, 1, n_cfg*k*S): pre-flattened XLA-side (the
-        # n_cfg*k row masks already concatenated along the lane axis) because
-        # Mosaic can lower neither a (1, S) block over a (B, S) array nor
-        # the (n_cfg*k, S) -> (1, n_cfg*k*S) sublane->lane reshape in-kernel;
-        # dropping the leading unit dims is the one reshape that IS free
-        mask_add = mask_ref[...].reshape(1, n_cfg * k * S).astype(jnp.float32)
-        tt = tt_ref[...]                                # (num_steps, D) f32
-
-        def body(i, z):
-            # this step's precomputed time token: one-hot matmul (Mosaic has
-            # no dynamic VMEM indexing); a single (1, num_steps) row per step
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, num_steps), 1) == i
-            ).astype(jnp.float32)
-            t_tok = jnp.dot(onehot, tt, preferred_element_type=jnp.float32)
-            time_token = jnp.broadcast_to(
-                t_tok[None], (n_cfg * k, 1, tt.shape[-1]))
-            z_in = (jnp.concatenate([z, z], axis=0) if do_cfg else z)
-            pred = denoiser_apply_pure(
-                params, z_in, None, cond, num_layers, md_trans=False,
-                cond_projected=True, key_mask_add=mask_add,
-                time_token=time_token,
-            )
-            if do_cfg:
-                uncond = jax.lax.slice_in_dim(pred, 0, k, axis=0)
-                cond_pred = jax.lax.slice_in_dim(pred, k, 2 * k, axis=0)
-                eps = uncond + guidance_scale * (cond_pred - uncond)
-            else:
-                eps = pred
-            acp_t = acp_ref[0, i]
-            acp_prev = acp_prev_ref[0, i]
-            x0 = (z - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
-            return jnp.sqrt(acp_prev) * x0 + jnp.sqrt(1.0 - acp_prev) * eps
-
-        out_ref[...] = jax.lax.fori_loop(0, num_steps, body, z0).astype(
-            out_ref.dtype)
-
-    return kernel
-
-
-# Max attention rows (n_cfg*k*S) for ddim_fused_tokens: 1280 rows keep the
-# dense f32 logits (1280^2*4 = 6.6 MB) + softmax + AV well inside the 100 MB
-# vmem_limit next to the resident bf16 weights and activations. At the t2m
-# protocol (S=79) this clamps k to 16 without CFG and 8 with CFG.
-_TOKEN_ROW_BUDGET = 1280
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_steps", "num_layers", "guidance_scale",
-                     "samples_per_step", "interpret"),
-)
-def ddim_fused_tokens(
-    denoiser_params: Dict,
-    cond: jnp.ndarray,          # (B or 2B, n_cond, text_dim); CFG: [uncond; cond]
-    z0: jnp.ndarray,            # (B, n_tok, D) initial noise (already scaled)
-    timesteps: jnp.ndarray,     # (num_steps,) int32, descending
-    acp_t: jnp.ndarray,
-    acp_prev: jnp.ndarray,
-    cond_mask: jnp.ndarray = None,   # (B or 2B, n_cond) True = valid token
-    num_steps: int = 50,
-    num_layers: int = 5,
-    guidance_scale: float = 1.0,
-    samples_per_step: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused DDIM for the LONG-conditioning token modes (md_trans=False).
-
-    `ddim_fused` hoists per-layer condition projections into VMEM — fine for
-    the pooled CLIP token, ruinous at the 77-token clip_hidden/bert
-    sequences (~100 MB of invariants at batch 64). This variant instead runs
-    a Pallas GRID OVER SAMPLE GROUPS: each grid step owns `samples_per_step`
-    (k) samples' full 50-step reverse process over the [latent; time; cond]
-    token concat (`mld_denoiser.py:110-121`), batched as one
-    block-diagonal-masked attention of n_cfg*k*S rows at S = n_tok + 1 +
-    n_cond, while the bf16 weights stay VMEM-resident across the whole grid
-    (constant-index blocks are fetched once). Per-window XLA-side precompute
-    (f32): the emb_proj condition projection and the time-token MLP for all
-    steps. CFG runs each sample's two halves as rows of the same
-    block-diagonal attention, pre-ordered [uncond x k; cond x k] per grid
-    block. Padded condition tokens are excluded as attention keys via an
-    additive mask, matching the flax `key_valid_mask` semantics exactly; B
-    is zero-padded up to a multiple of k (padded outputs discarded).
-
-    k is the MXU row-occupancy lever: the k=1 variant measured 0.72x the
-    XLA scan (each grid step ran M = n_cfg*S = 158-row matmuls, the same
-    systolic-fill-bound regime as the pooled kernel's M=64 —
-    `scripts/DDIM_ROOFLINE.json`); packing k samples raises M to
-    n_cfg*k*S rows per matmul. The dense QKV/FFN projections keep
-    identical total flops; the attention logits/AV pair does NOT — it is
-    computed as one dense (n_cfg*k*S)^2 block and masked, so attention
-    flops per sample grow ~k-fold. At S ~ 79 attention dominates, so the
-    sweet spot is small k (occupancy win beats the masked-flop cost only
-    while the matmuls are fill-bound). k is additionally clamped so the
-    f32 logits + softmax tiles fit VMEM (see _TOKEN_ROW_BUDGET).
-    """
-    B = z0.shape[0]
-    dp = denoiser_params["params"]
-    do_cfg = guidance_scale > 1.0
-    n_cfg = 2 if do_cfg else 1
-    assert cond.shape[0] == n_cfg * B, (cond.shape, B, guidance_scale)
-    k = max(1, min(samples_per_step, B))
-    # VMEM guard: the kernel materializes the dense (n_cfg*k*S)^2 f32
-    # logits block plus its softmax — at 2528 rows that alone is ~50 MB of
-    # the 100 MB vmem_limit, and Mosaic allocation fails once activations,
-    # skips, and the resident bf16 weights are added. Clamp k so the row
-    # count stays within budget instead of letting large sweeps OOM.
-    n_tok_, N_ = z0.shape[1], cond.shape[1]
-    S_ = n_tok_ + 1 + N_
-    k = max(1, min(k, _TOKEN_ROW_BUDGET // (n_cfg * S_)))
-    n_grp = -(-B // k)          # ceil
-    Bp = n_grp * k
-
-    # ---- XLA-side per-window precompute (f32, batched: better MXU shapes)
-    cond_p, time_tokens = _window_precompute(dp, cond, z0.shape[-1], timesteps)
-    n_tok, D = z0.shape[1], z0.shape[2]
-    N = cond.shape[1]
-    Dp = cond_p.shape[-1]
-    # (n_grp, n_cfg*k, N, Dp): grid-blocked per sample GROUP, rows inside a
-    # block ordered [uncond x k; cond x k] so the kernel's only reshape
-    # collapses leading dims; CFG half order per sample stays [uncond; cond]
-    # at the eps-mix (`t2m.py::sample`)
-    cond_p = cond_p.reshape(n_cfg, B, N, Dp)
-    cond_p = jnp.pad(cond_p, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
-    cond_p = cond_p.reshape(n_cfg, n_grp, k, N, Dp).transpose(1, 0, 2, 3, 4)
-    cond_p = cond_p.reshape(n_grp, n_cfg * k, N, Dp)
-
-    S = n_tok + 1 + N
-    if cond_mask is None:
-        mask_add = jnp.zeros((B, S), jnp.float32)
-    else:
-        valid = jnp.concatenate(
-            [jnp.ones((B, n_tok + 1), bool), cond_mask[:B].astype(bool)],
-            axis=1)
-        mask_add = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
-    # padded samples keep an all-valid (0.0) mask: their rows attend over
-    # zero tokens, stay finite, and are sliced away below
-    mask_add = jnp.pad(mask_add, ((0, Bp - B), (0, 0)))
-    mask_add = jnp.broadcast_to(
-        mask_add.reshape(n_grp, 1, k, S), (n_grp, n_cfg, k, S)
-    ).reshape(n_grp, 1, n_cfg * k * S)
-
-    z0p = jnp.pad(z0, ((0, Bp - B), (0, 0), (0, 0)))
-
-    if QKV_FUSE:
-        denoiser_params = _fuse_qkv(denoiser_params)  # fused per window
-    leaves, treedef = jax.tree.flatten(denoiser_params)
-    leaves_bf16 = [l.astype(jnp.bfloat16) for l in leaves]
-    kernel = _token_kernel_factory(
-        treedef, num_steps, num_layers, guidance_scale, n_cfg, k)
-
-    whole = lambda *shape: pl.BlockSpec(  # noqa: E731 — same block every step
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec((k, n_tok, D), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((1, n_cfg * k, N, Dp), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)]
-        # (n_grp, 1, n_cfg*k*S) with block (1, 1, n_cfg*k*S): a bare (k, S)
-        # block over (Bp, S) fails Mosaic lowering when the second-to-last
-        # block dim is neither 8-divisible nor the full array dim — the
-        # singleton axis makes the last two block dims equal the array's;
-        # the n_cfg*k*S lane width is the pre-flattened per-row
-        # attention-key mask (see kernel comment)
-        + [pl.BlockSpec((1, 1, n_cfg * k * S), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)]
-        + [whole(*time_tokens.shape)]
-        + [whole(*l.shape) for l in leaves_bf16]
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_grp,),
-        out_shape=jax.ShapeDtypeStruct(z0p.shape, z0.dtype),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((k, n_tok, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(
-        acp_t.reshape(1, -1).astype(jnp.float32),
-        acp_prev.reshape(1, -1).astype(jnp.float32),
-        z0p,
-        cond_p.astype(jnp.float32),
-        mask_add,
-        time_tokens.astype(jnp.float32),
-        *leaves_bf16,
-    )
-    return out[:B] if Bp != B else out
-
-
 def ddim_schedule_arrays(schedule, num_steps: int):
     """Precompute (timesteps, acp_t, acp_prev) for the fused kernel."""
     ts = schedule.ddim_timesteps(num_steps)
-    acp = np.asarray(schedule.alphas_cumprod)
+    # host-side copy — a d2h fetch of the device twin can fail transiently
+    # through the axon relay (schedulers.py::alphas_cumprod_np)
+    acp = schedule.alphas_cumprod_np
     prev_t = ts - schedule.num_train_timesteps // num_steps
     final = 1.0 if schedule.set_alpha_to_one else acp[0]
     acp_prev = np.where(prev_t >= 0, acp[np.maximum(prev_t, 0)], final)

@@ -192,137 +192,6 @@ class TestFusedDenoiser:
             np.asarray(grid), np.asarray(fused), atol=0.01 * scale
         )
 
-    def test_fused_tokens_matches_scan_plain(self):
-        """Token-mode kernel (grid over samples, md_trans=False) vs the f32
-        step loop at a pooled-size condition — no mask, no CFG."""
-        import jax
-
-        from seeme_tpu.diffusion import DiffusionSchedule
-        from seeme_tpu.models import Denoiser
-        from seeme_tpu.ops import denoiser_fused as df
-
-        den = Denoiser(nfeats=75, md_trans=False)
-        B, D, NS = 3, 256, 5
-        rng = np.random.RandomState(3)
-        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
-        cond = jnp.asarray(rng.randn(B, 2, D).astype(np.float32))
-        params = den.init(jax.random.PRNGKey(0), z0,
-                          jnp.zeros((B,), jnp.int32), cond)
-        params = jax.tree.map(
-            lambda a: a + 0.02 * jax.random.normal(
-                jax.random.PRNGKey(7), a.shape),
-            params,
-        )
-        sched = DiffusionSchedule()
-        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
-        z = z0
-        for t in np.asarray(sched.ddim_timesteps(NS)):
-            pred = den.apply(params, z, jnp.full((B,), t), cond)
-            z = sched.ddim_step(pred, jnp.asarray(t), z, NS)
-        scale = float(jnp.abs(z).max())
-        out = df.ddim_fused_tokens(params, cond, z0, tsa, acp_t, acp_prev,
-                                   num_steps=NS, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(z),
-                                   atol=0.02 * scale)
-        # and the existing md_trans=False fori_loop kernel agrees with the
-        # sample-grid kernel (same bf16 weight residency)
-        loop = df.ddim_fused(params, cond, z0, tsa, acp_t, acp_prev,
-                             num_steps=NS, md_trans=False, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(loop),
-                                   atol=0.01 * scale)
-
-    def test_fused_tokens_77_mask_cfg_matches_scan(self):
-        """The actual clip_hidden shape: 77 padded condition tokens with a
-        validity mask and CFG — the configuration the n_cond<=8 gate used to
-        exclude from the fused path (VERDICT r3 weak #5)."""
-        import jax
-
-        from seeme_tpu.diffusion import DiffusionSchedule
-        from seeme_tpu.models import Denoiser
-        from seeme_tpu.ops import denoiser_fused as df
-
-        den = Denoiser(nfeats=75, md_trans=False, text_encoded_dim=768)
-        B, D, N, NS, G = 2, 256, 77, 4, 7.5
-        rng = np.random.RandomState(4)
-        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
-        cond = jnp.asarray(rng.randn(B, N, 768).astype(np.float32))
-        lengths = [9, 23]
-        mask = jnp.asarray(
-            np.arange(N)[None, :] < np.asarray(lengths)[:, None])
-        cond = cond * mask[..., None]  # zero padded tokens like the encoder
-        params = den.init(jax.random.PRNGKey(0), z0,
-                          jnp.zeros((B,), jnp.int32), cond)
-        params = jax.tree.map(
-            lambda a: a + 0.02 * jax.random.normal(
-                jax.random.PRNGKey(7), a.shape),
-            params,
-        )
-        cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
-        mask2 = jnp.concatenate([mask, mask], axis=0)
-        sched = DiffusionSchedule()
-        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
-        z = z0
-        for t in np.asarray(sched.ddim_timesteps(NS)):
-            z_in = jnp.concatenate([z, z], axis=0)
-            pred = den.apply(params, z_in, jnp.full((2 * B,), t), cond2,
-                             cond_mask=mask2)
-            eps = pred[:B] + G * (pred[B:] - pred[:B])
-            z = sched.ddim_step(eps, jnp.asarray(t), z, NS)
-        scale = float(jnp.abs(z).max())
-        out = df.ddim_fused_tokens(
-            params, cond2, z0, tsa, acp_t, acp_prev, cond_mask=mask2,
-            num_steps=NS, guidance_scale=G, interpret=True)
-        # guidance 7.5 amplifies the bf16 weight-rounding envelope ~7.5x
-        np.testing.assert_allclose(np.asarray(out), np.asarray(z),
-                                   atol=0.06 * scale)
-
-    def test_fused_tokens_multi_sample_packing_and_padding(self):
-        """samples_per_step > 1: k samples share one grid step as extra
-        block-diagonal rows; B not divisible by k exercises the zero-pad +
-        slice-back path. Every k must land inside the f32 scan's bf16
-        envelope (a CFG-order or padding bug would blow it up by ~10x at
-        guidance 7.5), and the k variants must cluster tighter still —
-        their only divergence is matmul-shape-dependent bf16 rounding."""
-        import jax
-
-        from seeme_tpu.diffusion import DiffusionSchedule
-        from seeme_tpu.models import Denoiser
-        from seeme_tpu.ops import denoiser_fused as df
-
-        den = Denoiser(nfeats=75, md_trans=False, text_encoded_dim=768)
-        B, D, N, NS, G = 3, 256, 11, 4, 7.5
-        rng = np.random.RandomState(5)
-        z0 = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
-        cond = jnp.asarray(rng.randn(B, N, 768).astype(np.float32))
-        lengths = [4, 9, 11]
-        mask = jnp.asarray(
-            np.arange(N)[None, :] < np.asarray(lengths)[:, None])
-        cond = cond * mask[..., None]
-        params = den.init(jax.random.PRNGKey(0), z0,
-                          jnp.zeros((B,), jnp.int32), cond)
-        cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
-        mask2 = jnp.concatenate([mask, mask], axis=0)
-        sched = DiffusionSchedule()
-        tsa, acp_t, acp_prev = df.ddim_schedule_arrays(sched, NS)
-        z = z0
-        for t in np.asarray(sched.ddim_timesteps(NS)):
-            z_in = jnp.concatenate([z, z], axis=0)
-            pred = den.apply(params, z_in, jnp.full((2 * B,), t), cond2,
-                             cond_mask=mask2)
-            eps = pred[:B] + G * (pred[B:] - pred[:B])
-            z = sched.ddim_step(eps, jnp.asarray(t), z, NS)
-        scan = np.asarray(z)
-        scale = float(np.abs(scan).max())
-        outs = {}
-        for k in (1, 2, 3):   # k=2 pads B=3 -> 4 (2 grid steps)
-            outs[k] = np.asarray(df.ddim_fused_tokens(
-                params, cond2, z0, tsa, acp_t, acp_prev, cond_mask=mask2,
-                num_steps=NS, guidance_scale=G, samples_per_step=k,
-                interpret=True))
-            np.testing.assert_allclose(outs[k], scan, atol=0.06 * scale)
-        for k in (2, 3):
-            np.testing.assert_allclose(outs[k], outs[1], atol=0.02 * scale)
-
     def test_fused_grid_cfg_matches_loop(self):
         """CFG path: the doubled-cond grid kernel matches the fori_loop
         kernel at guidance > 1 (uncond rows zeroed, `mld.py:467-492`)."""

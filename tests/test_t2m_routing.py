@@ -2,11 +2,13 @@
 conditioning (77-token) sampling").
 
 The fused Pallas path must serve pooled conditions (n_cond <= 8, no mask) by
-default, while 77-token clip_hidden/bert modes default to the XLA scan — the
-sample-grid kernel measured 0.72x the scan on real TPU
-(scripts/TOKEN_BENCH.json) and is opt-in via T2MConfig.use_fused_tokens.
-Backend and kernels are stubbed so the gate itself is what's under test
-(the numerical parity of each route is covered by tests/test_pallas_ops.py).
+default, while 77-token clip_hidden/bert modes ALWAYS take the XLA scan: the
+sample-grid token kernel measured 0.72x the scan at k=1 and monotonically
+worse with multi-sample packing (scripts/TOKEN_BENCH.json — scan 18.7 vs
+25.9/29.3/32.6 ms at k=1/4/8), so it was deleted with that measurement as
+the decision record. Backend and kernel are stubbed so the gate itself is
+what's under test (numerical parity of each route is covered by
+tests/test_pallas_ops.py).
 """
 
 import jax
@@ -20,15 +22,12 @@ import seeme_tpu.ops.denoiser_fused as df
 
 @pytest.fixture
 def routed(monkeypatch):
-    """Pretend the backend is TPU and replace both kernels with recorders."""
+    """Pretend the backend is TPU and replace the kernel with a recorder."""
     calls = []
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(
         df, "ddim_fused",
         lambda params, cond, z0, *a, **k: calls.append("pooled") or z0)
-    monkeypatch.setattr(
-        df, "ddim_fused_tokens",
-        lambda params, cond, z0, *a, **k: calls.append("tokens") or z0)
     return calls
 
 
@@ -48,25 +47,17 @@ def test_pooled_cond_routes_to_fused(routed):
     assert routed == ["pooled"]
 
 
-def test_token_cond_defaults_to_scan(routed):
+def test_token_cond_takes_the_scan(routed):
     system, params = _make(T2MConfig(**CFG))
     emb = jnp.asarray(np.random.RandomState(0).randn(2, 77, 768), jnp.float32)
     mask = jnp.asarray(np.arange(77)[None] < 9).repeat(2, axis=0)
     out = system.sample(params, emb, jax.random.PRNGKey(1), cond_mask=mask)
-    assert routed == []  # neither kernel: the XLA scan served the request
+    assert routed == []  # no kernel call: the XLA scan served the request
     assert out.shape == (2, 16, 263)
 
 
-def test_token_cond_opt_in_routes_to_token_kernel(routed):
-    system, params = _make(T2MConfig(use_fused_tokens=True, **CFG))
-    emb = jnp.asarray(np.random.RandomState(0).randn(2, 77, 768), jnp.float32)
-    mask = jnp.asarray(np.arange(77)[None] < 9).repeat(2, axis=0)
-    system.sample(params, emb, jax.random.PRNGKey(1), cond_mask=mask)
-    assert routed == ["tokens"]
-
-
 def test_cpu_backend_never_fuses():
-    # no backend patch: the conftest pins CPU, where both kernels are skipped
+    # no backend patch: the conftest pins CPU, where the kernel is skipped
     system, params = _make(T2MConfig(**CFG))
     emb = jnp.asarray(np.random.RandomState(0).randn(2, 1, 768), jnp.float32)
     out = system.sample(params, emb, jax.random.PRNGKey(1))
