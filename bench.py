@@ -297,20 +297,45 @@ def main(argv=None):
     _probe_backend()
 
     if args.sweep:
+        import sys
+        import traceback
+
         batches = [int(b) for b in args.sweep.split(",")]
         sweep = {}
         for b in batches:
-            sweep[str(b)] = measure(b)
-            print(f"bench.py sweep: batch {b} -> "
-                  f"{sweep[str(b)]['value']} seqs/s/chip, "
-                  f"window {sweep[str(b)]['onchip_window_ms']} ms",
-                  file=__import__("sys").stderr)
-        # Print the protocol JSON line BEFORE writing the artifact: the
-        # one-line stdout contract must survive an unwritable artifact path.
-        primary = sweep.get(str(BATCH)) or sweep[str(batches[0])]
+            # one point failing (the relay flakes mid-measure — the
+            # 2026-08-19 attempt died fetching batch 512 after a good
+            # batch-64 capture) must not lose the points already taken
+            try:
+                sweep[str(b)] = measure(b)
+                print(f"bench.py sweep: batch {b} -> "
+                      f"{sweep[str(b)]['value']} seqs/s/chip, "
+                      f"window {sweep[str(b)]['onchip_window_ms']} ms",
+                      file=sys.stderr)
+            except Exception as e:
+                traceback.print_exc(file=sys.stderr)
+                sweep[str(b)] = {"batch": b,
+                                 "error": f"{type(e).__name__}: {e}"}
+            # artifact written incrementally after EVERY point; guarded so
+            # an unwritable path can't kill the stdout contract below
+            try:
+                with open(SWEEP_ARTIFACT, "w") as f:
+                    json.dump(sweep, f, indent=1)
+            except OSError as e:
+                print(f"bench.py: could not write {SWEEP_ARTIFACT}: {e}",
+                      file=sys.stderr)
+        ok = {k: v for k, v in sweep.items() if "error" not in v}
+        if not ok:
+            print(json.dumps({
+                "metric": "sampled_motion_seqs_per_sec_per_chip_ddim50",
+                "value": None, "unit": "seqs/s/chip", "vs_baseline": None,
+                "error": "every sweep point failed: " + "; ".join(
+                    f"b={k}: {v['error']}" for k, v in sweep.items()),
+            }))
+            sys.exit(1)
+        primary = ok.get(str(BATCH)) or next(
+            ok[str(b)] for b in batches if str(b) in ok)
         print(json.dumps(primary))
-        with open(SWEEP_ARTIFACT, "w") as f:
-            json.dump(sweep, f, indent=1)
         return
     print(json.dumps(measure(args.batch)))
 

@@ -109,6 +109,54 @@ def test_sweep_writes_artifact_and_prints_protocol_batch(
     assert sweep["512"]["value"] == 512.0
 
 
+def test_sweep_survives_one_point_failing(bench, monkeypatch, tmp_path,
+                                           capsys):
+    """A relay flake on one sweep point must not lose the others: the
+    artifact records the error for the failed batch, the good points stay,
+    and stdout still carries the protocol-batch JSON line (the 2026-08-19
+    capture lost a good batch-64 point to a batch-512 d2h failure)."""
+    import json
+
+    monkeypatch.setattr(bench, "_probe_backend", lambda **kw: None)
+
+    def fake_measure(b):
+        if b == 512:
+            raise RuntimeError("TPU backend error (FailedPrecondition)")
+        return {"metric": "m", "value": float(b), "unit": "u",
+                "vs_baseline": 1.0, "batch": b, "onchip_window_ms": 2.0}
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    artifact = tmp_path / "BATCH_SWEEP.json"
+    monkeypatch.setattr(bench, "SWEEP_ARTIFACT", str(artifact))
+    bench.main(["--sweep", "64,512"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["batch"] == 64
+    sweep = json.loads(artifact.read_text())
+    assert sweep["64"]["value"] == 64.0
+    assert "FailedPrecondition" in sweep["512"]["error"]
+
+
+def test_sweep_all_points_failing_exits_nonzero(bench, monkeypatch, tmp_path,
+                                                capsys):
+    import json
+
+    monkeypatch.setattr(bench, "_probe_backend", lambda **kw: None)
+
+    def fake_measure(b):
+        raise RuntimeError("relay down")
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    artifact = tmp_path / "BATCH_SWEEP.json"
+    monkeypatch.setattr(bench, "SWEEP_ARTIFACT", str(artifact))
+    with pytest.raises(SystemExit) as exc:
+        bench.main(["--sweep", "64,512"])
+    assert exc.value.code == 1
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(out_lines) == 1, "stdout must carry exactly one JSON line"
+    err = json.loads(out_lines[0])
+    assert err["value"] is None and "relay down" in err["error"]
+
+
 def test_default_run_prints_measure_result(bench, monkeypatch, capsys):
     import json
 
