@@ -128,9 +128,13 @@ def measure(batch_size: int = BATCH) -> dict:
     """One full capture at `batch_size`; returns the result dict.
 
     The PROTOCOL metric stays batch 64 (the reference eval batch); other
-    batches exist for the deployment-throughput sweep (--sweep), where
-    per-seq cost keeps falling as the M=batch rows fill the 128-row MXU
-    (scripts/DDIM_ROOFLINE.json batch_sweep).
+    batches exist for the deployment-throughput sweep (--sweep). NOTE the
+    2026-08-20 sweep (scripts/BATCH_SWEEP.json) measured B=512 WORSE
+    per-seq than B=64 through the full 25-window-amortized window (31.1
+    vs 27.0 us/seq): the earlier "per-seq cost keeps falling with batch"
+    read (DDIM_ROOFLINE.json) carried a fixed per-dispatch relay cost in
+    every point, which penalized small batches; with dispatch amortized,
+    on-chip per-seq cost is flat-to-slightly-rising in batch.
     """
     import jax
     import jax.numpy as jnp
